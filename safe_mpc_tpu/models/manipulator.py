@@ -1,0 +1,344 @@
+"""Manipulator MPC model: dynamics, torque map, plant, collision residuals.
+
+TPU-native equivalent of the reference's ``AdamModel`` (env_model.py:18-331).
+All compute-path functions are pure, jit/vmap-safe, and take the inertial
+parameters as an explicit argument so model-noise ensembles are batched
+pytrees rather than re-parsed URDF files.
+
+State convention (reference env_model.py:58-66): ``x = [q, v]`` with
+``nx = 2 nq``; control ``u`` = joint accelerations; discrete double
+integrator ``q+ = q + dt v + dt^2/2 u``, ``v+ = v + dt u``; torque through
+inverse dynamics ``tau = M(q) u + h(q, v)``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SafeMpcConfig, Scene
+from . import geometry as geom
+from .robot import InertialParams, RobotModel
+from .urdf import asset_path
+
+
+@dataclass(frozen=True)
+class CollisionRow:
+    """One scalar collision constraint: lo <= value(q) <= hi.
+
+    ``check_lo/check_hi`` are the looser numeric-check bounds used by
+    feasibility checks (reference ``collisions_constr_fun``,
+    env_model.py:267-268 — tol_obs applied, collision margin not)."""
+    name: str
+    fn: Callable          # x -> scalar (traceable)
+    lo: float
+    hi: float
+    check_lo: float
+    check_hi: float
+
+
+class ManipulatorModel:
+    def __init__(self, cfg: SafeMpcConfig, robot: RobotModel | None = None):
+        self.cfg = cfg
+        if robot is None:
+            robot = RobotModel(cfg.urdf_path or asset_path(cfg.urdf_name),
+                               n_dofs=cfg.n_dofs)
+        self.robot = robot
+        self.nq = robot.nq
+        self.nv = robot.nq
+        self.nx = 2 * robot.nq
+        self.nu = robot.nq
+        self.dt = cfg.dt
+
+        self.tau_max = np.asarray(robot.tau_max)
+        self.tau_min = -self.tau_max
+
+        # Widened model bounds for checks (env_model.py:115-121) and the
+        # tightened-back solver bounds (controller.py:45-55).
+        x_min = np.hstack([robot.q_min, -robot.dq_max])
+        x_max = np.hstack([robot.q_max, robot.dq_max])
+        self.bounds_diff = np.abs(x_max - x_min)
+        m = cfg.joint_bounds_margin / 100.0
+        self.x_min = x_min - self.bounds_diff * m
+        self.x_max = x_max + self.bounds_diff * m
+        self.lbx = self.x_min + self.bounds_diff * m
+        self.ubx = self.x_max - self.bounds_diff * m
+
+        self.ee_frame = cfg.frame_ee
+        self.ee_offset = np.asarray(cfg.ee_position)
+        self.ee_ref = np.asarray(cfg.ee_ref)
+
+        self._compile_scene(cfg.scene)
+
+    # ------------------------------------------------------------- dynamics
+
+    def step(self, x, u):
+        """Discrete double integrator (env_model.py:63-66)."""
+        nq, dt = self.nq, self.dt
+        q, v = x[..., :nq], x[..., nq:]
+        return jnp.concatenate(
+            [q + dt * v + 0.5 * dt * dt * u, v + dt * u], axis=-1
+        )
+
+    def tau(self, x, u, params: InertialParams | None = None):
+        """Inverse-dynamics torque (env_model.py:81-83)."""
+        nq = self.nq
+        return self.robot.inverse_dynamics(x[:nq], x[nq:], u, params)
+
+    def ee_pos(self, x):
+        """Global EE position incl. tool offset (env_model.py:92-95)."""
+        return self.robot.frame_position(x[: self.nq], self.ee_frame, self.ee_offset)
+
+    def ee_jac(self, q):
+        """(3, nq) linear EE-frame Jacobian (reference jac[:3, 6:])."""
+        return self.robot.frame_jacobian(q, self.ee_frame)[:3]
+
+    # ----------------------------------------------------------- integrators
+
+    def plant_step(self, x, u, key, params: InertialParams | None = None):
+        """Noisy plant integrator (env_model.py:192-206).
+
+        tau from the (noisy) plant model + Gaussian torque noise, saturated
+        to the limits, then forward dynamics on the plant model and the
+        double-integrator step. Returns (x_next, u_actual).
+        """
+        nq = self.nq
+        tau = self.robot.inverse_dynamics(x[:nq], x[nq:], u, params)
+        sigma = jnp.asarray(self.tau_max) * (self.cfg.control_noise / 100.0)
+        tau = tau + sigma * jax.random.normal(key, (self.nu,), dtype=tau.dtype)
+        tau_sat = jnp.clip(tau, jnp.asarray(self.tau_min), jnp.asarray(self.tau_max))
+        u_act = self.robot.forward_dynamics(x[:nq], x[nq:], tau_sat, params)
+        return self.step(x, u_act), u_act
+
+    def step_controller_model(self, x, u, params: InertialParams | None = None):
+        """Nominal integrator with saturation only on violation
+        (env_model.py:212-224). Branchless: the resolved control is selected
+        with `where`, preserving exact pass-through when within bounds."""
+        nq = self.nq
+        tau = self.robot.inverse_dynamics(x[:nq], x[nq:], u, params)
+        in_bounds = jnp.all(
+            (tau >= jnp.asarray(self.tau_min) - self.cfg.tol_tau)
+            & (tau <= jnp.asarray(self.tau_max) + self.cfg.tol_tau)
+        )
+        tau_sat = jnp.clip(tau, jnp.asarray(self.tau_min), jnp.asarray(self.tau_max))
+        u_sat = self.robot.forward_dynamics(x[:nq], x[nq:], tau_sat, params)
+        u_eff = jnp.where(in_bounds, u, u_sat)
+        return self.step(x, u_eff), u_eff
+
+    def rollout(self, x0, u_seq):
+        """Open-loop rollout of the nominal double integrator (`lax.scan`)."""
+        def f(x, u):
+            xn = self.step(x, u)
+            return xn, xn
+        _, xs = jax.lax.scan(f, x0, u_seq)
+        return jnp.concatenate([x0[None], xs], axis=0)
+
+    # ------------------------------------------------------------- checks
+
+    def check_state_bounds(self, x):
+        """Per-sample bool; reference env_model.py:175-177."""
+        tol = self.cfg.tol_x
+        return jnp.all(
+            (x >= jnp.asarray(self.x_min) - tol) & (x <= jnp.asarray(self.x_max) + tol),
+            axis=-1,
+        )
+
+    def check_torque_bounds(self, tau):
+        tol = self.cfg.tol_tau
+        return jnp.all(
+            (tau >= jnp.asarray(self.tau_min) - tol)
+            & (tau <= jnp.asarray(self.tau_max) + tol),
+            axis=-1,
+        )
+
+    def check_collision(self, x):
+        """Per-sample bool over all collision rows (env_model.py:236-243)."""
+        if not self.collision_rows:
+            return jnp.asarray(True)
+        vals = self.collision_values(x)
+        lo = jnp.asarray([r.check_lo for r in self.collision_rows])
+        hi = jnp.asarray([r.check_hi for r in self.collision_rows])
+        return jnp.all((vals >= lo) & (vals <= hi), axis=-1)
+
+    def check_dynamics(self, xs, us, tol_scale: float = 1.0):
+        """Rollout-consistency check (env_model.py:226-234): re-integrate the
+        control sequence with `step_controller_model` and compare."""
+        def f(x, u):
+            xn, _ = self.step_controller_model(x, u)
+            return xn, xn
+        _, sim = jax.lax.scan(f, xs[0], us)
+        sim = jnp.concatenate([xs[:1], sim], axis=0)
+        n = us.shape[0]
+        return jnp.linalg.norm(xs - sim) < self.cfg.tol_dyn * np.sqrt(n + 1) * tol_scale
+
+    # ------------------------------------------------------------- scene
+
+    def _compile_scene(self, scene: Scene):
+        """Resolve collision pairs into scalar residual rows.
+
+        Mirrors the reference two-stage margin plumbing: the parser shrinks
+        radii / widens plane bands by ``collision_margin``
+        (parser.py:176-194), then the constraint compiler adds ``2 margin``
+        back into the solver bounds (env_model.py:264-316). Net effect:
+        solver keeps the original clearance, numeric checks use the shrunk
+        radii with ``tol_obs`` slack.
+        """
+        cfg = self.cfg
+        margin = cfg.collision_margin
+        tol = cfg.tol_obs
+
+        caps: dict[str, dict] = {}
+        for c in scene.robot_capsules:
+            T = geom.rot_x(c.rotation_offset[0]) @ geom.rot_y(c.rotation_offset[1]) \
+                @ geom.rot_z(c.rotation_offset[2])
+            P = np.eye(4)
+            P[:3, 3] = c.spatial_offset
+            T = P @ T
+            child = self.robot.urdf.child_joint_of(c.link_name)
+            direction = float(np.sign(child.origin_xyz[c.link_axis])) if child is not None else 1.0
+            e0 = np.array([0.0, 0.0, 0.0, 1.0])
+            e1 = e0.copy()
+            e1[c.link_axis] += direction * c.length
+            caps[c.name] = dict(kind="robot_capsule", link=c.link_name,
+                                radius=c.radius - margin, T=T, e0=e0, e1=e1,
+                                length=c.length)
+        for c in scene.fixed_capsules:
+            caps[c.name] = dict(kind="fixed_capsule", radius=c.radius - margin,
+                                a=np.asarray(c.point_a), b=np.asarray(c.point_b))
+        planes = {}
+        for p in scene.planes:
+            planes[p.name] = dict(kind="plane", axis=p.perpendicular_axis,
+                                  lo=p.bounds[0] - margin, hi=p.bounds[1] + margin,
+                                  real_bound=p.real_bound,
+                                  position=np.asarray(p.position))
+        spheres = {}
+        for s in scene.spheres:
+            spheres[s.name] = dict(kind="sphere_obs", radius=s.radius - margin,
+                                   position=np.asarray(s.position), bounds=s.bounds)
+        rspheres = {}
+        for s in scene.robot_spheres:
+            rspheres[s.name] = dict(kind="robot_sphere", link=s.link_name,
+                                    radius=s.radius - margin,
+                                    offset=np.asarray(s.spatial_offset))
+
+        def capsule_endpoints(entry):
+            if entry["kind"] == "fixed_capsule":
+                a, b = entry["a"], entry["b"]
+                return lambda x: (jnp.asarray(a, dtype=x.dtype),
+                                  jnp.asarray(b, dtype=x.dtype))
+            link, T, e0, e1 = entry["link"], entry["T"], entry["e0"], entry["e1"]
+
+            def fn(x):
+                R, p = self.robot.frame_pose(x[: self.nq], link)
+                Tw = jnp.concatenate(
+                    [jnp.concatenate([R, p[:, None]], axis=1),
+                     jnp.asarray([[0.0, 0.0, 0.0, 1.0]], dtype=x.dtype)], axis=0
+                ) @ jnp.asarray(T, dtype=x.dtype)
+                return (Tw @ jnp.asarray(e0, dtype=x.dtype))[:3], \
+                       (Tw @ jnp.asarray(e1, dtype=x.dtype))[:3]
+            return fn
+
+        rows: list[CollisionRow] = []
+        if cfg.obs_flag:
+            for name_a, name_b in scene.collision_pairs:
+                rows.extend(self._make_pair_rows(
+                    name_a, name_b, caps, planes, spheres, rspheres,
+                    capsule_endpoints, margin, tol))
+        self.collision_rows = rows
+        self.n_collision = len(rows)
+
+    def _make_pair_rows(self, name_a, name_b, caps, planes, spheres, rspheres,
+                        capsule_endpoints, margin, tol):
+        # normalise order: capsule/robot-sphere first (parser.py:262-267)
+        if name_a in planes or name_a in spheres:
+            name_a, name_b = name_b, name_a
+        rows = []
+        pair_name = f"{name_a}_{name_b}"
+        if name_a in caps and name_b in caps:
+            ea, eb = capsule_endpoints(caps[name_a]), capsule_endpoints(caps[name_b])
+            ra, rb = caps[name_a]["radius"], caps[name_b]["radius"]
+
+            def fn(x, ea=ea, eb=eb):
+                a0, a1 = ea(x)
+                b0, b1 = eb(x)
+                return geom.segment_segment_sqdist(a0, a1, b0, b1)
+
+            rows.append(CollisionRow(pair_name, fn,
+                                     lo=(ra + rb + 2 * margin) ** 2, hi=1e6,
+                                     check_lo=(ra + rb) ** 2 - tol, check_hi=1e6 + tol))
+        elif name_a in caps and name_b in spheres:
+            ea = capsule_endpoints(caps[name_a])
+            ra = caps[name_a]["radius"]
+            length = caps[name_a].get("length",
+                                      float(np.linalg.norm(caps[name_a].get("a", 0)
+                                                           - caps[name_a].get("b", 1))))
+            obs = spheres[name_b]
+
+            def fn(x, ea=ea, obs=obs, length=length):
+                a0, a1 = ea(x)
+                return geom.point_segment_sqdist(
+                    a0, a1, length, jnp.asarray(obs["position"], dtype=x.dtype))
+
+            rb = obs["radius"]
+            rows.append(CollisionRow(pair_name, fn,
+                                     lo=(rb + ra + 2 * margin) ** 2, hi=1e6,
+                                     check_lo=(rb + ra) ** 2 - tol, check_hi=1e6 + tol))
+        elif name_a in caps and name_b in planes:
+            ea = capsule_endpoints(caps[name_a])
+            ra = caps[name_a]["radius"]
+            pl = planes[name_b]
+            for pt_idx in range(2):  # one row per capsule endpoint
+                def fn(x, ea=ea, pl=pl, pt_idx=pt_idx):
+                    pts = ea(x)
+                    return pts[pt_idx][pl["axis"]]
+                rows.append(CollisionRow(
+                    f"{pair_name}_{pt_idx}", fn,
+                    lo=pl["lo"] + ra + 2 * margin, hi=pl["hi"] - ra - 2 * margin,
+                    check_lo=pl["lo"] + ra - tol, check_hi=pl["hi"] - ra + tol))
+        elif name_a in rspheres and name_b in spheres:
+            # reference uses the global EE point for sphere-sphere
+            # (env_model.py:300), not the sphere's own FK
+            obs = spheres[name_b]
+            ra = rspheres[name_a]["radius"]
+
+            def fn(x, obs=obs):
+                return geom.sphere_sphere_sqdist(
+                    self.ee_pos(x), jnp.asarray(obs["position"], dtype=x.dtype))
+
+            rb = obs["radius"]
+            rows.append(CollisionRow(pair_name, fn,
+                                     lo=(ra + rb + 2 * margin) ** 2, hi=1e6,
+                                     check_lo=(ra + rb) ** 2 - tol, check_hi=1e6 + tol))
+        elif name_a in rspheres and name_b in planes:
+            sp = rspheres[name_a]
+            pl = planes[name_b]
+
+            def fn(x, sp=sp, pl=pl):
+                p = self.robot.frame_position(x[: self.nq], sp["link"], sp["offset"])
+                return p[pl["axis"]] - pl[("lo", "hi")[pl["real_bound"]]]
+
+            ra = sp["radius"]
+            rows.append(CollisionRow(pair_name, fn,
+                                     lo=pl["lo"] + ra + 2 * margin,
+                                     hi=pl["hi"] - ra - 2 * margin,
+                                     check_lo=pl["lo"] + ra - tol,
+                                     check_hi=pl["hi"] - ra + tol))
+        else:
+            raise ValueError(f"unsupported collision pair ({name_a}, {name_b})")
+        return rows
+
+    def collision_values(self, x):
+        """(n_collision,) stacked residual values at state x."""
+        if not self.collision_rows:
+            return jnp.zeros((0,), dtype=jnp.asarray(x).dtype)
+        return jnp.stack([r.fn(x) for r in self.collision_rows])
+
+    @property
+    def collision_bounds(self):
+        lo = np.array([r.lo for r in self.collision_rows])
+        hi = np.array([r.hi for r in self.collision_rows])
+        return lo, hi

@@ -1,0 +1,378 @@
+"""JAX rigid-body model: kinematics + Lagrangian dynamics from URDF.
+
+TPU-native replacement for the reference's adam-robotics ``KinDynComputations``
+(reference env_model.py:40-53). The reference builds CasADi graphs for the
+mass matrix (CRBA), bias force (RNEA), gravity and forward kinematics of a
+floating-base model and slices the actuated block ``[6:, 6:]``
+(env_model.py:81-83). For a fixed-base arm with identity base pose and zero
+base velocity — which is how the reference always evaluates them — that is
+numerically identical to the plain fixed-base quantities computed here.
+
+Design (idiomatic JAX, no algorithm translation):
+
+* Forward kinematics is an unrolled trace-time chain product (nq <= ~7).
+* The mass matrix is assembled by the Jacobian ("projected Newton-Euler")
+  method: ``M(q) = sum_b m_b Jv_b^T Jv_b + Jw_b^T (R_b I_b R_b^T) Jw_b``,
+  one einsum over bodies — MXU-friendly and exactly equal to CRBA.
+* The bias force uses autodiff on the Lagrangian instead of an RNEA sweep:
+  ``h(q, v) = dM/dt(q; v) v - 1/2 * d(v^T M v)/dq + dU/dq`` where
+  ``U(q)`` is gravitational potential energy. ``dM/dt v`` is one `jax.jvp`.
+  This is exact (not approximate) and differentiates cleanly for the
+  constraint linearization used by the RTI solver.
+* Inertial parameters are a *runtime pytree* (:class:`InertialParams`), so
+  model-noise ensembles are just batched parameters under `vmap`
+  (replacing URDF text rewriting, reference utils.py:126-171).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .urdf import UrdfRobot, parse_urdf
+
+GRAVITY = 9.80665
+
+_REVOLUTE, _PRISMATIC = 0, 1
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class InertialParams:
+    """Per-body inertial parameters (runtime arrays; batch with `vmap`).
+
+    ``inertia`` is the rotational inertia about the body COM in the body
+    (link) frame, as in URDF ``<inertial>``.
+    """
+
+    mass: jax.Array      # (nb,)
+    com: jax.Array       # (nb, 3)
+    inertia: jax.Array   # (nb, 3, 3)
+
+    def perturbed(self, key: jax.Array, noise_mass: float, noise_inertia: float,
+                  noise_cm: float) -> "InertialParams":
+        """Uniform relative perturbation of every inertial entry.
+
+        Mirrors the reference URDF randomizer semantics (utils.py:126-171):
+        each mass, inertia entry and COM coordinate is perturbed by
+        Uniform(-p, p) where p = |value| * noise_percent / 100.
+        """
+        km, ki, kc = jax.random.split(key, 3)
+        um = jax.random.uniform(km, self.mass.shape, minval=-1.0, maxval=1.0)
+        ui = jax.random.uniform(ki, self.inertia.shape, minval=-1.0, maxval=1.0)
+        ui = 0.5 * (ui + jnp.swapaxes(ui, -1, -2))  # keep inertia symmetric
+        uc = jax.random.uniform(kc, self.com.shape, minval=-1.0, maxval=1.0)
+        return InertialParams(
+            mass=self.mass + jnp.abs(self.mass) * (noise_mass / 100.0) * um,
+            inertia=self.inertia + jnp.abs(self.inertia) * (noise_inertia / 100.0) * ui,
+            com=self.com + jnp.abs(self.com) * (noise_cm / 100.0) * uc,
+        )
+
+
+def _rpy_matrix(rpy: np.ndarray) -> np.ndarray:
+    r, p, y = rpy
+    cr, sr = np.cos(r), np.sin(r)
+    cp, sp = np.cos(p), np.sin(p)
+    cy, sy = np.cos(y), np.sin(y)
+    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    return Rz @ Ry @ Rx
+
+
+def _make_T(R: np.ndarray, p: np.ndarray) -> np.ndarray:
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = p
+    return T
+
+
+class RobotModel:
+    """Static robot description + pure JAX kinematics/dynamics functions.
+
+    Instances are plain Python objects holding numpy constants; they are
+    captured by closure inside jitted functions (never traced). All methods
+    taking `q`/`v` arrays are jit/vmap-safe.
+    """
+
+    def __init__(self, urdf: UrdfRobot | str, n_dofs: int | None = None,
+                 actuated_joints: list[str] | None = None):
+        if isinstance(urdf, str):
+            urdf = parse_urdf(urdf)
+        self.urdf = urdf
+        movable = urdf.movable_joints()
+        if actuated_joints is not None:
+            sel = [urdf.joint(n) for n in actuated_joints]
+        else:
+            n = n_dofs if n_dofs is not None else len(movable)
+            sel = movable[:n]
+        self.joint_names = [j.name for j in sel]
+        self.nq = len(sel)
+        actuated_set = set(self.joint_names)
+
+        # Walk the tree from the root; compose fixed/locked joints (at q=0)
+        # into the pre-transform of the next actuated joint below them.
+        root = urdf.root_link()
+        # parent actuated-joint index for each link, and offset from that
+        # joint's child-link frame to the link frame (identity composition of
+        # fixed/locked joints along the way).
+        self._link_support: dict[str, tuple[int, np.ndarray]] = {root: (-1, np.eye(4))}
+        self._T_pre = np.zeros((self.nq, 4, 4))
+        self._parent = np.full(self.nq, -1, dtype=np.int64)
+        axes, types = [], []
+        q_min, q_max, dq_max, tau_max = [], [], [], []
+
+        stack = [root]
+        jidx = {}
+        while stack:
+            link = stack.pop()
+            anc, offset = self._link_support[link]
+            for j in urdf.joints:
+                if j.parent != link:
+                    continue
+                T_origin = _make_T(_rpy_matrix(j.origin_rpy), j.origin_xyz)
+                if j.type != "fixed" and j.name in actuated_set:
+                    i = self.joint_names.index(j.name)
+                    jidx[j.name] = i
+                    self._T_pre[i] = offset @ T_origin
+                    self._parent[i] = anc
+                    axes.append(j.axis / np.linalg.norm(j.axis))
+                    types.append(_REVOLUTE if j.type == "revolute" else _PRISMATIC)
+                    q_min.append(j.lower)
+                    q_max.append(j.upper)
+                    dq_max.append(j.velocity)
+                    tau_max.append(j.effort)
+                    self._link_support[j.child] = (i, np.eye(4))
+                else:
+                    # fixed joint, or movable joint locked at q = 0
+                    self._link_support[j.child] = (anc, offset @ T_origin)
+                stack.append(j.child)
+
+        # reorder axis/limit arrays to joint order (walk order may differ)
+        order = np.argsort([jidx[n] for n in jidx])
+        # jidx insertion order == walk order; rebuild in joint_names order:
+        by_name = {n: k for k, n in enumerate(jidx)}
+        perm = [by_name[n] for n in self.joint_names]
+        self.joint_axes = np.array(axes)[perm]
+        self.joint_types = tuple(np.array(types)[perm].tolist())
+        self.q_min = np.array(q_min)[perm]
+        self.q_max = np.array(q_max)[perm]
+        self.dq_max = np.array(dq_max)[perm]
+        self.tau_max = np.array(tau_max)[perm]
+        del order
+
+        # Inertial bodies: every link with an <inertial>, attached to its
+        # supporting actuated joint with a constant offset transform.
+        self._bodies: list[tuple[str, int, np.ndarray]] = []
+        masses, coms, inertias = [], [], []
+        for link in urdf.links:
+            if link.inertial is None or link.name not in self._link_support:
+                continue
+            anc, offset = self._link_support[link.name]
+            self._bodies.append((link.name, anc, offset))
+            masses.append(link.inertial.mass)
+            coms.append(link.inertial.com)
+            inertias.append(link.inertial.inertia)
+        self.default_params = InertialParams(
+            mass=jnp.array(masses), com=jnp.array(coms), inertia=jnp.array(inertias)
+        )
+        self.nb = len(self._bodies)
+        # ancestry mask: body b is moved by joint i iff i is on the chain
+        # from the root to b's supporting joint.
+        self._body_anc = np.zeros((self.nb, self.nq))
+        for b, (_, anc, _) in enumerate(self._bodies):
+            i = anc
+            while i >= 0:
+                self._body_anc[b, i] = 1.0
+                i = self._parent[i]
+        self._body_support = np.array([b[1] for b in self._bodies], dtype=np.int64)
+        self._body_offset = np.array([b[2] for b in self._bodies])
+
+    # ---------------------------------------------------------------- frames
+
+    def frame_support(self, frame: str) -> tuple[int, np.ndarray]:
+        """(supporting actuated joint index, constant offset transform)."""
+        if frame not in self._link_support:
+            raise KeyError(f"frame {frame!r} unknown")
+        return self._link_support[frame]
+
+    # ------------------------------------------------------------ kinematics
+
+    def _joint_poses(self, q):
+        """World pose of every actuated joint's child-link frame.
+
+        Returns (R: (nq,3,3), p: (nq,3), axis_w: (nq,3)) stacked as jnp.
+        """
+        q = jnp.asarray(q)
+        Rs, ps, axes_w = [], [], []
+        R_par = [jnp.eye(3, dtype=q.dtype)] * 1
+        for i in range(self.nq):
+            if self._parent[i] < 0:
+                Rp, pp = jnp.eye(3, dtype=q.dtype), jnp.zeros(3, dtype=q.dtype)
+            else:
+                Rp, pp = Rs[self._parent[i]], ps[self._parent[i]]
+            T_pre = jnp.asarray(self._T_pre[i], dtype=q.dtype)
+            R0 = Rp @ T_pre[:3, :3]
+            p0 = pp + Rp @ T_pre[:3, 3]
+            axis = jnp.asarray(self.joint_axes[i], dtype=q.dtype)
+            if self.joint_types[i] == _REVOLUTE:
+                Rj = _axis_angle(axis, q[i])
+                R_i = R0 @ Rj
+                p_i = p0
+            else:
+                R_i = R0
+                p_i = p0 + R0 @ (axis * q[i])
+            a_w = R0 @ axis
+            Rs.append(R_i)
+            ps.append(p_i)
+            axes_w.append(a_w)
+        return jnp.stack(Rs), jnp.stack(ps), jnp.stack(axes_w)
+
+    def frame_pose(self, q, frame: str):
+        """(R, p) world pose of a named link frame."""
+        anc, offset = self.frame_support(frame)
+        q = jnp.asarray(q)
+        off = jnp.asarray(offset, dtype=q.dtype)
+        if anc < 0:
+            return off[:3, :3], off[:3, 3]
+        R, p, _ = self._joint_poses(q)
+        Rf = R[anc] @ off[:3, :3]
+        pf = p[anc] + R[anc] @ off[:3, 3]
+        return Rf, pf
+
+    def frame_position(self, q, frame: str, local_offset=None):
+        """World position of a point given in a link frame (the reference's
+        ``T[:3,3] + T[:3,:3] @ t_loc`` pattern, env_model.py:92-95)."""
+        R, p = self.frame_pose(q, frame)
+        if local_offset is None:
+            return p
+        return p + R @ jnp.asarray(local_offset, dtype=p.dtype)
+
+    def _chain_mask(self, anc: int) -> np.ndarray:
+        chain = np.zeros(self.nq)
+        i = anc
+        while i >= 0:
+            chain[i] = 1.0
+            i = self._parent[i]
+        return chain
+
+    def _point_jacobian(self, q, anc: int, point_w, joint_R, joint_p, axes_w):
+        """Linear+angular Jacobian (3, nq) pair of a point supported by joint
+        `anc` — vectorized over columns (masked cross products)."""
+        chain = jnp.asarray(self._chain_mask(anc), dtype=point_w.dtype)
+        rev = jnp.asarray(
+            [1.0 if t == _REVOLUTE else 0.0 for t in self.joint_types],
+            dtype=point_w.dtype)
+        d = point_w[None, :] - joint_p                      # (nq, 3)
+        Jv_rev = jnp.cross(axes_w, d)                        # (nq, 3)
+        Jv = chain[:, None] * (rev[:, None] * Jv_rev + (1 - rev)[:, None] * axes_w)
+        Jw = (chain * rev)[:, None] * axes_w
+        return Jv.T, Jw.T
+
+    def frame_jacobian(self, q, frame: str, local_offset=None):
+        """(6, nq) world-frame Jacobian [linear; angular] of a link frame.
+
+        Matches the mixed-representation frame Jacobian's actuated block
+        (``jac(eye(4), q)[:3, 6:]`` in the reference, safe_set.py:149) for a
+        fixed base.
+        """
+        anc, _ = self.frame_support(frame)
+        q = jnp.asarray(q)
+        R, p, axes_w = self._joint_poses(q)
+        pt = self.frame_position(q, frame, local_offset)
+        if anc < 0:
+            return jnp.zeros((6, self.nq), dtype=q.dtype)
+        Jv, Jw = self._point_jacobian(q, anc, pt, R, p, axes_w)
+        return jnp.concatenate([Jv, Jw], axis=0)
+
+    # -------------------------------------------------------------- dynamics
+
+    def _body_frames_from(self, R, p, params: InertialParams):
+        """World rotation + COM position of every inertial body, vectorized
+        over bodies (gather over supporting joints + masked base case)."""
+        sup = self._body_support                                # (nb,)
+        mask = jnp.asarray((sup >= 0).astype(np.float64), dtype=R.dtype)[:, None, None]
+        sup_c = np.clip(sup, 0, None)
+        off = jnp.asarray(self._body_offset, dtype=R.dtype)     # (nb, 4, 4)
+        Rsup = mask * R[sup_c] + (1 - mask) * jnp.eye(3, dtype=R.dtype)
+        psup = mask[:, :, 0] * p[sup_c]
+        Rb = jnp.einsum("bij,bjk->bik", Rsup, off[:, :3, :3])
+        ob = psup + jnp.einsum("bij,bj->bi", Rsup, off[:, :3, 3])
+        pb = ob + jnp.einsum("bij,bj->bi", Rb, params.com)
+        return Rb, pb
+
+    def _body_frames(self, q, params: InertialParams):
+        R, p, _ = self._joint_poses(jnp.asarray(q))
+        return self._body_frames_from(R, p, params)
+
+    def mass_matrix(self, q, params: InertialParams | None = None):
+        """Joint-space mass matrix M(q), (nq, nq). Equals CRBA / the
+        reference's ``mass(H_b, q)[6:, 6:]`` (env_model.py:81).
+
+        Assembled as one masked einsum over inertial bodies — a handful of
+        batched contractions instead of per-body loops, which keeps the
+        traced graph small and maps onto the MXU when batched.
+        """
+        params = self.default_params if params is None else params
+        q = jnp.asarray(q)
+        R, p, axes_w = self._joint_poses(q)
+        Rb, pb = self._body_frames_from(R, p, params)
+        chain = jnp.asarray(self._body_anc, dtype=q.dtype)       # (nb, nq)
+        rev = jnp.asarray(
+            [1.0 if t == _REVOLUTE else 0.0 for t in self.joint_types],
+            dtype=q.dtype)
+        d = pb[:, None, :] - p[None, :, :]                       # (nb, nq, 3)
+        Jv_rev = jnp.cross(axes_w[None, :, :], d)                # (nb, nq, 3)
+        Jv = chain[:, :, None] * (rev[None, :, None] * Jv_rev
+                                  + (1 - rev)[None, :, None] * axes_w[None])
+        Jw = (chain * rev[None, :])[:, :, None] * axes_w[None]   # (nb, nq, 3)
+        Iw = jnp.einsum("bij,bjk,blk->bil", Rb, params.inertia.astype(q.dtype), Rb)
+        M = jnp.einsum("b,bpk,bqk->pq", params.mass.astype(q.dtype), Jv, Jv)
+        M = M + jnp.einsum("bpi,bij,bqj->pq", Jw, Iw, Jw)
+        return M
+
+    def potential_energy(self, q, params: InertialParams | None = None):
+        params = self.default_params if params is None else params
+        _, pb = self._body_frames(jnp.asarray(q), params)
+        return GRAVITY * jnp.sum(params.mass * pb[:, 2])
+
+    def gravity_term(self, q, params: InertialParams | None = None):
+        """g(q) = dU/dq, the reference's ``gravity(H_b, q)[6:]``."""
+        return jax.grad(lambda qq: self.potential_energy(qq, params))(jnp.asarray(q))
+
+    def bias_force(self, q, v, params: InertialParams | None = None):
+        """h(q, v) = C(q, v) v + g(q) via the Lagrangian identity
+        ``h = (dM/dt) v - 1/2 d(v^T M v)/dq + dU/dq`` — exact, autodiff-only.
+        Equals the reference's ``bias(H_b, q, 0, v)[6:]`` (env_model.py:82).
+        """
+        q = jnp.asarray(q)
+        v = jnp.asarray(v)
+        Mfun = lambda qq: self.mass_matrix(qq, params)
+        _, Mdot = jax.jvp(Mfun, (q,), (v,))
+        quad = jax.grad(lambda qq: 0.5 * v @ Mfun(qq) @ v)(q)
+        return Mdot @ v - quad + self.gravity_term(q, params)
+
+    def inverse_dynamics(self, q, v, a, params: InertialParams | None = None):
+        """tau = M(q) a + h(q, v) (no joint friction, as in the reference)."""
+        return self.mass_matrix(q, params) @ jnp.asarray(a) + self.bias_force(q, v, params)
+
+    def forward_dynamics(self, q, v, tau, params: InertialParams | None = None):
+        """a = M(q)^{-1} (tau - h(q, v)) (reference env_model.py:202)."""
+        M = self.mass_matrix(q, params)
+        h = self.bias_force(q, v, params)
+        return jnp.linalg.solve(M, jnp.asarray(tau) - h)
+
+
+def _axis_angle(axis, theta):
+    """Rotation matrix about a unit axis (Rodrigues)."""
+    K = jnp.array([
+        [0.0, -axis[2], axis[1]],
+        [axis[2], 0.0, -axis[0]],
+        [-axis[1], axis[0], 0.0],
+    ], dtype=jnp.result_type(theta))
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    return jnp.eye(3, dtype=K.dtype) + s * K + (1.0 - c) * (K @ K)

@@ -1,0 +1,21 @@
+"""Test configuration: CPU backend with a virtual 8-device mesh and f64.
+
+Multi-chip sharding is validated on a virtual CPU mesh
+(``xla_force_host_platform_device_count``), mirroring how the driver
+dry-runs the multi-chip path. Numerics tests run in float64 for tight
+tolerances; the TPU bench path uses float32.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The hosting environment may pre-register an accelerator platform that
+# overrides JAX_PLATFORMS; force the CPU backend explicitly.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
