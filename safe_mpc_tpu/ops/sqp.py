@@ -1,0 +1,103 @@
+"""RTI and full-SQP drivers over the transcribed QP.
+
+TPU-native equivalents of the reference's two solver modes
+(parser.py:115-117,139):
+
+* ``rti_step`` — SQP_RTI semantics: ONE linearization + ONE QP solve,
+  FIXED_STEP (full step), LM regularization; status 0/4 like acados
+  (controller.py:158-167). This is the per-tick hot path; vmap it over
+  thousands of problems.
+* ``sqp_solve`` — SQP semantics for initializer solves
+  (MERIT_BACKTRACKING, nlp_max_iter budget; replaces both the acados
+  full-SQP and the IPOPT paths, SURVEY.md §2.2). L1-merit backtracking
+  line search; fixed iteration count with convergence masking so batches
+  stay shape-uniform.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from .qp import QPData, QPSolution, solve_qp
+from .transcribe import NodeSchedule, OcpSpec
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SolveResult:
+    xs: jax.Array        # (N+1, nx) new iterate
+    us: jax.Array        # (N, nu)
+    status: jax.Array    # int32: 0 ok, 4 QP failure (acados convention)
+    qp_viol: jax.Array   # max hard violation of the QP solution
+    iters: jax.Array     # SQP iterations actually used (1 for RTI)
+
+
+def rti_step(spec: OcpSpec, xg, ug, x0, schedule: NodeSchedule,
+             qp_iters: int = 20) -> SolveResult:
+    """One real-time iteration: linearize at the guess, solve one QP,
+    take the full step (acados SQP_RTI + FIXED_STEP)."""
+    data = spec.transcribe(xg, ug, x0, schedule)
+    sol = solve_qp(data, iters=qp_iters)
+    xs = xg + sol.dx
+    us = ug + sol.du
+    return SolveResult(xs=xs, us=us, status=sol.status,
+                       qp_viol=sol.hard_violation,
+                       iters=jnp.ones((), jnp.int32))
+
+
+def sqp_solve(spec: OcpSpec, xg, ug, x0, schedule: NodeSchedule,
+              max_iters: int = 50, qp_iters: int = 25,
+              tol: float = 1e-6, merit_rho: float = 1e4,
+              ls_steps: int = 8) -> SolveResult:
+    """Full SQP with L1-merit backtracking (globalization
+    MERIT_BACKTRACKING, parser.py:139). Runs a fixed `max_iters` scan with
+    converged problems frozen (batch-uniform compute under vmap)."""
+    dtype = xg.dtype
+
+    def merit(xs, us, data):
+        cost = spec.total_cost(xs, us, schedule.p_ee)
+        hard, soft_pen, dyn = spec.constraint_violation_l1(
+            data, xs, us, schedule)
+        return cost + soft_pen + merit_rho * (hard + dyn)
+
+    def iteration(carry, _):
+        xs, us, done, n_used, last_status = carry
+        data = spec.transcribe(xs, us, x0, schedule)
+        sol = solve_qp(data, iters=qp_iters)
+
+        m0 = merit(xs, us, data)
+        alphas = 0.5 ** jnp.arange(ls_steps, dtype=dtype)
+
+        def try_alpha(a):
+            return merit(xs + a * sol.dx, us + a * sol.du, data)
+
+        merits = jax.vmap(try_alpha)(alphas)
+        best = jnp.argmin(merits)
+        alpha = jnp.where(merits[best] < m0, alphas[best], alphas[-1])
+
+        step_norm = jnp.maximum(jnp.max(jnp.abs(sol.dx)),
+                                jnp.max(jnp.abs(sol.du)))
+        converged = step_norm < tol
+
+        xs_new = jnp.where(done, xs, xs + alpha * sol.dx)
+        us_new = jnp.where(done, us, us + alpha * sol.du)
+        n_used = n_used + jnp.where(done, 0, 1).astype(jnp.int32)
+        status_new = jnp.where(done, last_status, sol.status)
+        done_new = jnp.logical_or(done, converged)
+        return (xs_new, us_new, done_new, n_used, status_new), None
+
+    init = (xg, ug, jnp.asarray(False), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32))
+    (xs, us, done, n_used, status), _ = jax.lax.scan(
+        iteration, init, None, length=max_iters)
+
+    # final feasibility verdict at the solution
+    data = spec.transcribe(xs, us, x0, schedule)
+    hard, _, dyn = spec.constraint_violation_l1(data, xs, us, schedule)
+    bad = jnp.logical_or(hard > 1e-4, dyn > 1e-5)
+    status = jnp.where(bad, 4, status).astype(jnp.int32)
+    return SolveResult(xs=xs, us=us, status=status, qp_viol=hard,
+                       iters=n_used)

@@ -1,0 +1,292 @@
+"""OCP → QP transcription: vmapped linearization of dynamics/cost/constraints.
+
+Replaces acados' per-OCP generated C model/constraint functions and the
+solver-mutation API (`ocp_solver.set/cost_set/constraints_set`, reference
+controller.py:136-167, 448-470). Everything the reference mutates on a live
+solver object is *data* here: :class:`NodeSchedule` carries the per-node
+box bounds, safe-set activation, slack weights and EE references, so every
+controller variant is a schedule, not a solver rebuild.
+
+Unified row layout per node (static shapes; inactive rows are masked —
+the branchless analogue of `casadi_if_else` gating, utils.py:207-210):
+
+  [ state box (nx) | torque (nu) | collision (nc) | safe set (ns) ]
+
+Node 0 box rows are off (x0 is pinned), terminal torque rows are off, safe
+rows follow the schedule (never at node 0, like the reference's nl_con_0,
+controller.py:77). With model noise the reference drops node-0 collision
+rows (controller.py:70-73) — reproduced via the static `noise` flag.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SafeMpcConfig
+from ..models.manipulator import ManipulatorModel
+from .qp import QPData
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class NodeSchedule:
+    """Runtime per-node constraint schedule (the controller's knobs)."""
+    lbx: jax.Array          # (N+1, nx) box lower bounds
+    ubx: jax.Array          # (N+1, nx)
+    p_ee: jax.Array         # (N+1, 3) EE reference per node (traj window)
+    alpha: jax.Array        # scalar safety margin (percent)
+    safe_active: jax.Array  # (N+1,) in {0,1}: safe rows on at node k
+    safe_soft: jax.Array    # (N+1,) in {0,1}: safe rows soft at node k
+    safe_zl: jax.Array      # (N+1,) linear lower-slack weight
+    safe_zu: jax.Array      # (N+1,) linear upper-slack weight
+
+
+class OcpSpec:
+    """Static transcription spec for one OCP family (model + safe set + cost).
+
+    The heavy lifting happens in :meth:`transcribe`, which is pure in
+    (xg, ug, x0, schedule) and jit/vmap-safe with `self` captured in the
+    closure.
+    """
+
+    def __init__(self, model: ManipulatorModel, safe_set=None,
+                 N: int | None = None, Q: float | None = None,
+                 R: float | None = None, lm: float | None = None,
+                 zero_cost: bool = False, vel_penalty: float = 0.0,
+                 cost_scaling: str = "dt"):
+        cfg = model.cfg
+        self.model = model
+        self.safe_set = safe_set
+        self.N = int(N if N is not None else cfg.N)
+        self.Q_w = float(cfg.Q_weight if Q is None else Q)
+        self.R_w = float(cfg.R_weight if R is None else R)
+        self.lm = float(cfg.levenberg_marquardt if lm is None else lm)
+        self.zero_cost = zero_cost
+        # 'dt': acados default cost scaling (path nodes * dt, terminal * 1)
+        # — terminal-dominant, stabilizing. 'none': the reference's explicit
+        # IPOPT convention (plain sums, ocp.py:35-46).
+        self.cost_scaling = cost_scaling
+        # SafeBackup objective: velocity penalty (the reference's SafeAbortOCP
+        # cost, ocp.py:291-303; mpc.py uses ZeroCost whose zero Hessian is
+        # singular — the velocity penalty selects the same braking solutions
+        # while keeping the QP well-posed)
+        self.vel_penalty = float(vel_penalty)
+
+        self.nx, self.nu = model.nx, model.nu
+        self.nc = model.n_collision
+        self.ns = 0 if safe_set is None else safe_set.n_constraints
+        self.m = self.nx + self.nu + self.nc + self.ns
+
+        nq, dt = model.nq, model.dt
+        eye = np.eye(nq)
+        self.A = np.block([[eye, dt * eye], [0 * eye, eye]])
+        self.B = np.vstack([0.5 * dt * dt * eye, dt * eye])
+
+        # static per-row bounds for tau/collision blocks
+        self.tau_lo, self.tau_hi = model.tau_min, model.tau_max
+        if self.nc:
+            self.col_lo, self.col_hi = model.collision_bounds
+        else:
+            self.col_lo = self.col_hi = np.zeros(0)
+        if self.ns:
+            self.safe_lo, self.safe_hi = safe_set.bounds
+        else:
+            self.safe_lo = self.safe_hi = np.zeros(0)
+
+        # static row-activity template (N+1, m)
+        N1 = self.N + 1
+        act = np.ones((N1, self.m))
+        act[0, : self.nx] = 0.0                      # x0 pinned
+        act[self.N, self.nx: self.nx + self.nu] = 0.0  # no terminal torque
+        if cfg.noise > 0 and self.nc:
+            act[0, self.nx + self.nu: self.nx + self.nu + self.nc] = 0.0
+        if not cfg.obs_flag:
+            act[:, self.nx + self.nu: self.nx + self.nu + self.nc] = 0.0
+        self._act_template = act
+
+    # ------------------------------------------------------------- schedule
+
+    def default_schedule(self, dtype=jnp.float64) -> NodeSchedule:
+        N1 = self.N + 1
+        cfg = self.model.cfg
+        return NodeSchedule(
+            lbx=jnp.tile(jnp.asarray(self.model.lbx, dtype), (N1, 1)),
+            ubx=jnp.tile(jnp.asarray(self.model.ubx, dtype), (N1, 1)),
+            p_ee=jnp.tile(jnp.asarray(self.model.ee_ref, dtype), (N1, 1)),
+            alpha=jnp.asarray(cfg.alpha, dtype),
+            safe_active=jnp.zeros(N1, dtype),
+            safe_soft=jnp.zeros(N1, dtype),
+            safe_zl=jnp.zeros(N1, dtype),
+            safe_zu=jnp.zeros(N1, dtype),
+        )
+
+    # ----------------------------------------------------------- node parts
+
+    def _constraint_values(self, x, u, alpha):
+        """(m,) stacked row values at one node."""
+        parts = [x, self.model.tau(x, u)]
+        if self.nc:
+            parts.append(self.model.collision_values(x))
+        if self.ns:
+            parts.append(self.safe_set.value(x, alpha))
+        return jnp.concatenate(parts)
+
+    def _cost_terms(self, x, u, p_ee, scale):
+        """Gauss-Newton stage cost blocks (EXT convention, e'Qe + u'Ru;
+        reference cost_definition.py:91-96).
+
+        `scale` implements acados' default cost scaling: path costs are
+        multiplied by the step length dt, the terminal cost by 1. This makes
+        the terminal EE error dominant, which is what stabilizes the
+        reference's regulation task.
+        """
+        nq = self.model.nq
+        dtype = x.dtype
+        if self.zero_cost or self.vel_penalty > 0:
+            Qx = jnp.zeros((self.nx, self.nx), dtype)
+            qx = jnp.zeros(self.nx, dtype)
+            if self.vel_penalty > 0:
+                # SafeAbortOCP cost: 1e-4 on q, vel_penalty on v, R on u
+                wq = jnp.concatenate([jnp.full(nq, 1e-4, dtype),
+                                      jnp.full(nq, self.vel_penalty, dtype)])
+                Qx = 2.0 * scale * jnp.diag(wq)
+                qx = 2.0 * scale * wq * x
+            Ru = 2.0 * scale * self.R_w * jnp.eye(self.nu, dtype=dtype)
+            ru = 2.0 * scale * self.R_w * u
+            if self.zero_cost:
+                Ru, ru = jnp.zeros_like(Ru), jnp.zeros_like(ru)
+            return Qx, qx, Ru, ru
+
+        # EE residual + Jacobian via jacfwd on the position map
+        ee = self.model.ee_pos(x)
+        J = jax.jacfwd(self.model.ee_pos)(x)          # (3, nx); vel cols = 0
+        err = ee - p_ee
+        Qx = 2.0 * scale * self.Q_w * (J.T @ J)
+        qx = 2.0 * scale * self.Q_w * (J.T @ err)
+        Ru = 2.0 * scale * self.R_w * jnp.eye(self.nu, dtype=dtype)
+        ru = 2.0 * scale * self.R_w * u
+        return Qx, qx, Ru, ru
+
+    # ------------------------------------------------------------ transcribe
+
+    def transcribe(self, xg, ug, x0, schedule: NodeSchedule) -> QPData:
+        """Linearize around the guess (xg (N+1,nx), ug (N,nu)) at pinned x0.
+
+        One vmap over nodes produces all Jacobians/Hessians; the result is
+        a :class:`QPData` ready for `solve_qp` (vmap both for batches).
+        """
+        N, nx, nu, m = self.N, self.nx, self.nu, self.m
+        dtype = xg.dtype
+        ug_full = jnp.concatenate([ug, jnp.zeros_like(ug[:1])], axis=0)
+
+        def node(x, u, p_ee, scale):
+            val = self._constraint_values(x, u, schedule.alpha)
+            Cx = jax.jacfwd(
+                lambda xx: self._constraint_values(xx, u, schedule.alpha))(x)
+            Cu = jax.jacfwd(
+                lambda uu: self._constraint_values(x, uu, schedule.alpha))(u)
+            Qx, qx, Ru, ru = self._cost_terms(x, u, p_ee, scale)
+            return val, Cx, Cu, Qx, qx, Ru, ru
+
+        if self.cost_scaling == "dt":
+            scales = jnp.concatenate([
+                jnp.full(N, self.model.dt, dtype), jnp.ones(1, dtype)])
+        else:
+            scales = jnp.ones(N + 1, dtype)
+        val, Cx, Cu, Qx, qx, Ru, ru = jax.vmap(node)(
+            xg, ug_full, schedule.p_ee, scales)
+
+        lm_eye = self.lm * jnp.eye(nx, dtype=dtype)
+        Q = Qx + lm_eye[None]
+        R = (Ru + self.lm * jnp.eye(nu, dtype=dtype)[None])[:N]
+        r = ru[:N]
+
+        # dynamics defect at the guess (zero after guess correction)
+        c = jax.vmap(self.model.step)(xg[:N], ug) - xg[1:]
+
+        # row bounds: [box | tau | col | safe]
+        n_bt = nx + nu
+        n_btc = n_bt + self.nc
+        lo = jnp.concatenate([
+            schedule.lbx,
+            jnp.tile(jnp.asarray(self.tau_lo, dtype), (N + 1, 1)),
+            jnp.tile(jnp.asarray(self.col_lo, dtype), (N + 1, 1)),
+            jnp.tile(jnp.asarray(self.safe_lo, dtype), (N + 1, 1)),
+        ], axis=1)
+        up = jnp.concatenate([
+            schedule.ubx,
+            jnp.tile(jnp.asarray(self.tau_hi, dtype), (N + 1, 1)),
+            jnp.tile(jnp.asarray(self.col_hi, dtype), (N + 1, 1)),
+            jnp.tile(jnp.asarray(self.safe_hi, dtype), (N + 1, 1)),
+        ], axis=1)
+
+        active = jnp.asarray(self._act_template, dtype)
+        soft = jnp.zeros((N + 1, m), dtype)
+        zl = jnp.zeros((N + 1, m), dtype)
+        zu = jnp.zeros((N + 1, m), dtype)
+        if self.ns:
+            sa = schedule.safe_active[:, None] * jnp.ones(self.ns, dtype)
+            sa = sa.at[0].set(0.0)                    # never at node 0
+            active = active.at[:, n_btc:].set(sa)
+            ss = schedule.safe_soft[:, None] * jnp.ones(self.ns, dtype)
+            soft = soft.at[:, n_btc:].set(ss)
+            zl = zl.at[:, n_btc:].set(schedule.safe_zl[:, None])
+            zu = zu.at[:, n_btc:].set(schedule.safe_zu[:, None])
+
+        return QPData(
+            A=jnp.asarray(self.A, dtype), B=jnp.asarray(self.B, dtype),
+            c=c, dx0=x0 - xg[0],
+            Q=Q, q=qx, R=R, r=r,
+            Cx=Cx, Cu=Cu[:N], h=val, lo=lo, up=up,
+            active=active, soft=soft, zl=zl, zu=zu,
+            Zl=jnp.zeros((N + 1, m), dtype), Zu=jnp.zeros((N + 1, m), dtype),
+        )
+
+    # ------------------------------------------------------------ diagnostics
+
+    def total_cost(self, xs, us, p_ee):
+        """Objective in the solver's convention (must match the QP model so
+        the SQP merit line search agrees with the QP descent direction)."""
+        if self.zero_cost:
+            return jnp.zeros((), xs.dtype)
+        N = us.shape[-2]
+        dt = self.model.dt if self.cost_scaling == "dt" else 1.0
+        scales = jnp.concatenate([jnp.full(N, dt, xs.dtype),
+                                  jnp.ones(1, xs.dtype)])
+        cu = dt * self.R_w * jnp.sum(us * us)
+        if self.vel_penalty > 0:
+            nq = self.model.nq
+            wq = jnp.concatenate([jnp.full(nq, 1e-4, xs.dtype),
+                                  jnp.full(nq, self.vel_penalty, xs.dtype)])
+            return jnp.sum(scales * ((xs * xs) @ wq)) + cu
+        ee = jax.vmap(self.model.ee_pos)(xs)
+        err = ee - p_ee
+        return self.Q_w * jnp.sum(scales * jnp.sum(err * err, axis=-1)) + cu
+
+    def unscaled_cost(self, xs, us, p_ee):
+        """Reference cost convention for metrics (ocp.py:35-46): plain sums
+        of e'Qe + u'Ru without dt scaling."""
+        ee = jax.vmap(self.model.ee_pos)(xs)
+        err = ee - p_ee
+        return self.Q_w * jnp.sum(err * err) + self.R_w * jnp.sum(us * us)
+
+    def constraint_violation_l1(self, data: QPData, xs, us,
+                                schedule: NodeSchedule):
+        """L1 violation of active hard rows + soft penalties + dynamics
+        defect at a (nonlinear) iterate — the merit-function terms."""
+        us_full = jnp.concatenate([us, jnp.zeros_like(us[:1])], axis=0)
+        val = jax.vmap(lambda x, u: self._constraint_values(
+            x, u, schedule.alpha))(xs, us_full)
+        viol_lo = jnp.maximum(data.lo - val, 0)
+        viol_up = jnp.maximum(val - data.up, 0)
+        hard = data.active * (1.0 - data.soft)
+        soft = data.active * data.soft
+        hard_l1 = jnp.sum((viol_lo + viol_up) * hard)
+        soft_pen = jnp.sum(data.zl * viol_lo * soft + data.zu * viol_up * soft)
+        dyn = jnp.sum(jnp.abs(
+            jax.vmap(self.model.step)(xs[:-1], us) - xs[1:]))
+        return hard_l1, soft_pen, dyn

@@ -1,0 +1,142 @@
+"""RTI / SQP integration tests: the minimum end-to-end slice (SURVEY.md §7).
+
+Z1 model, naive MPC with torque + joint-bound + collision constraints,
+closed-loop regulation to an EE target.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safe_mpc_tpu.config import load_config
+from safe_mpc_tpu.models.manipulator import ManipulatorModel
+from safe_mpc_tpu.ops.sqp import rti_step, sqp_solve
+from safe_mpc_tpu.ops.transcribe import OcpSpec
+
+N = 15
+TARGET = (0.35, 0.1, 0.3)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = load_config().with_(N=N, ee_ref=TARGET)
+    model = ManipulatorModel(cfg)
+    spec = OcpSpec(model)
+    x0 = jnp.zeros(model.nx)
+    return cfg, model, spec, x0
+
+
+def test_sqp_cold_start_feasible(setup):
+    cfg, model, spec, x0 = setup
+    sched = spec.default_schedule()
+    xg = jnp.tile(x0, (N + 1, 1))
+    ug = jnp.zeros((N, model.nu))
+    res = jax.jit(lambda: sqp_solve(spec, xg, ug, x0, sched, max_iters=30))()
+    assert int(res.status) == 0
+    xs, us = np.asarray(res.xs), np.asarray(res.us)
+    # dynamics defect ~ 0
+    for k in range(N):
+        np.testing.assert_allclose(
+            xs[k + 1], np.asarray(model.step(jnp.asarray(xs[k]),
+                                             jnp.asarray(us[k]))), atol=1e-6)
+    # torque within bounds
+    taus = np.stack([np.asarray(model.tau(jnp.asarray(xs[k]),
+                                          jnp.asarray(us[k])))
+                     for k in range(N)])
+    assert np.all(np.abs(taus) <= model.tau_max + 1e-4)
+    # state bounds
+    assert np.all(xs >= model.lbx - 1e-5) and np.all(xs <= model.ubx + 1e-5)
+    # moves the EE toward the target (N=15 is only 75 ms of motion from
+    # rest, so progress per horizon is small) and beats the cold guess cost
+    e0 = np.linalg.norm(np.asarray(model.ee_pos(x0)) - np.asarray(TARGET))
+    eN = np.linalg.norm(np.asarray(model.ee_pos(jnp.asarray(xs[-1])))
+                        - np.asarray(TARGET))
+    assert eN < e0 - 1e-4
+    cost_sol = float(spec.total_cost(res.xs, res.us, sched.p_ee))
+    cost_cold = float(spec.total_cost(xg, ug, sched.p_ee))
+    assert cost_sol < cost_cold
+
+
+def test_rti_closed_loop_converges(setup):
+    # N=25 (125 ms) is the shortest horizon that can brake from the velocity
+    # limit before the target; N=15 naive MPC genuinely overshoots — the
+    # failure mode the safe-set controllers exist to prevent.
+    cfg, model, _, x0 = setup
+    N25 = 25
+    model = ManipulatorModel(cfg.with_(N=N25))
+    spec = OcpSpec(model)
+    sched = spec.default_schedule()
+
+    # initialize guess by one full-SQP solve (the reference's guess stage)
+    xg = jnp.tile(x0, (N25 + 1, 1))
+    ug = jnp.zeros((N25, model.nu))
+    init = sqp_solve(spec, xg, ug, x0, sched, max_iters=120)
+    assert int(init.status) == 0
+
+    # 2 SQP iterations per control step (rti_iter is configurable; a single
+    # RTI iteration leaves a small lag-induced limit cycle ~2 cm)
+    step_fn = jax.jit(lambda xg, ug, x: sqp_solve(
+        spec, xg, ug, x, sched, max_iters=2, qp_iters=25))
+
+    def shift(xs, us):
+        xg = jnp.roll(xs, -1, axis=0).at[-1].set(xs[-1])
+        ug = jnp.roll(us, -1, axis=0).at[-1].set(us[-1])
+        return xg, ug
+
+    x = x0
+    xg, ug = init.xs, init.us
+    statuses = []
+    errs = []
+    for t in range(500):
+        res = step_fn(xg, ug, x)
+        statuses.append(int(res.status))
+        u0 = res.us[0]
+        x = model.step(x, u0)            # nominal plant, no noise
+        xg, ug = shift(res.xs, res.us)
+        if t % 100 == 99:
+            errs.append(np.linalg.norm(
+                np.asarray(model.ee_pos(x)) - np.asarray(TARGET)))
+
+    err = np.linalg.norm(np.asarray(model.ee_pos(x)) - np.asarray(TARGET))
+    # settles into a small neighbourhood of the target (a ~cm-scale RTI
+    # limit cycle remains for the naive controller; exact settling needs
+    # more SQP iterations per step or a terminal ingredient — see
+    # TerminalZeroVelocity / the safe-set controllers)
+    assert err < 0.08, f"EE error after 500 steps: {err} (history {errs})"
+    assert max(errs) < 0.1
+    assert np.mean(np.asarray(statuses) == 0) > 0.95
+
+
+def test_rti_respects_torque_limits_under_aggression(setup):
+    # From rest with a distant target the first RTI controls must still obey
+    # torque bounds (the QP clamps them).
+    cfg, model, spec, x0 = setup
+    sched = spec.default_schedule()
+    xg = jnp.tile(x0, (N + 1, 1))
+    ug = jnp.zeros((N, model.nu))
+    init = sqp_solve(spec, xg, ug, x0, sched, max_iters=30)
+    res = rti_step(spec, init.xs, init.us, x0, sched)
+    taus = np.stack([np.asarray(model.tau(res.xs[k], res.us[k]))
+                     for k in range(N)])
+    assert np.all(np.abs(taus) <= model.tau_max + 1e-3)
+
+
+def test_rti_batched_vmap(setup):
+    cfg, model, spec, x0 = setup
+    sched = spec.default_schedule()
+    B = 4
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(np.concatenate(
+        [np.zeros((B, model.nq)) + 0.1 * rng.standard_normal((B, model.nq)),
+         np.zeros((B, model.nq))], axis=1))
+    xg = jax.vmap(lambda x: jnp.tile(x, (N + 1, 1)))(x0s)
+    ug = jnp.zeros((B, N, model.nu))
+    batched = jax.jit(jax.vmap(
+        lambda xg, ug, x: rti_step(spec, xg, ug, x, sched)))
+    res = batched(xg, ug, x0s)
+    assert res.xs.shape == (B, N + 1, model.nx)
+    # batched result equals single solves
+    single = rti_step(spec, xg[1], ug[1], x0s[1], sched)
+    np.testing.assert_allclose(np.asarray(res.xs[1]),
+                               np.asarray(single.xs), atol=1e-8)
