@@ -1,0 +1,471 @@
+"""Controller layer: the reference's 9 controller variants as pure,
+batchable step functions over constraint-schedule data.
+
+Reference: controller.py:12-712. Where the reference mutates a live acados
+solver per node (`cost_set`/`constraints_set`/`set(p)`), each variant here
+derives a :class:`NodeSchedule` from its state — receding indices, slack
+weights and activation masks are arrays, and the per-tick state machine
+(fails counter, viable state, abort flag) is a masked pytree update, so
+thousands of controllers step as one batched program.
+
+Step contract (reference §3.3): ``step(state, x) -> StepResult`` with
+``u``, ``abort`` and the updated state. A failed solve never stops
+control: the previous plan is replayed shifted (provideControl rollback,
+controller.py:169-184).
+
+Reference quirk reproduced intentionally: `checkStateConstraints` on a
+trajectory checks bounds on every node but collision only on the first
+row (env_model.py:236-243 — the early ``return True`` sits inside the row
+loop), so the controllers' internal accept test does the same; the
+simulator checks every actual state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SafeMpcConfig
+from ..models.manipulator import ManipulatorModel
+from ..models.safeset import create_safe_set
+from ..ops.qp import solve_qp
+from ..ops.sqp import SolveResult, rti_step, sqp_solve
+from ..ops.transcribe import NodeSchedule, OcpSpec
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ControllerState:
+    xg: jax.Array            # (N+1, nx) current guess
+    ug: jax.Array            # (N, nu)
+    x_viable: jax.Array      # (nx,) last viable state for the abort solver
+    fails: jax.Array         # int32 consecutive-failure counter
+    r: jax.Array             # int32 receding index (N if unused)
+    current_step: jax.Array  # int32 closed-loop time index (traj window)
+    last_status: jax.Array   # int32
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class StepResult:
+    u: jax.Array             # (nu,) control to apply
+    abort: jax.Array         # bool: switch to the safe-abort machinery
+    state: ControllerState
+    status: jax.Array        # solver status of this tick
+    x_temp: jax.Array        # (N+1, nx) this tick's solver iterate
+    u_temp: jax.Array
+
+
+def _tree_where(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+class MPCController:
+    """Base: the NaiveController (controller.py:251-292)."""
+
+    name = "naive"
+    uses_safe_set = False
+    soft_terminal_set = False      # ST
+    hard_terminal_set = False      # HTWA / parallel / real_receding
+    running_set = False            # receding / parallel / everywhere
+    terminal_zero_vel = False      # zerovel / backup
+    with_abort = False             # STWA family state machine
+    skip_guess_correction = False  # RealReceding (controller.py:524)
+
+    def __init__(self, model: ManipulatorModel, N: int | None = None,
+                 safe_set=None, rti_iters: int | None = None,
+                 qp_iters: int = 25, traj: np.ndarray | None = None,
+                 **spec_kw):
+        cfg = model.cfg
+        self.model = model
+        self.cfg = cfg
+        self.N = int(N if N is not None else cfg.N)
+        if self.uses_safe_set and safe_set is None:
+            safe_set = create_safe_set(model)
+        self.safe_set = safe_set if self.uses_safe_set else None
+        self.spec = OcpSpec(model, safe_set=self.safe_set, N=self.N, **spec_kw)
+        self.rti_iters = int(rti_iters if rti_iters is not None
+                             else cfg.rti_iter)
+        self.qp_iters = qp_iters
+        # reference trajectory, (3, n_steps + 1 + N) (cost_definition.py:32);
+        # regulation tasks tile ee_ref
+        if traj is None:
+            traj = np.tile(np.asarray(model.ee_ref)[:, None],
+                           (1, cfg.n_steps + 1 + self.N))
+        self.traj = np.asarray(traj)
+
+    # ------------------------------------------------------------ state
+
+    def initial_state(self, x0, xg=None, ug=None, dtype=None) -> ControllerState:
+        dtype = dtype or jnp.asarray(x0).dtype
+        N, nx, nu = self.N, self.model.nx, self.model.nu
+        if xg is None:
+            xg = jnp.tile(jnp.asarray(x0, dtype), (N + 1, 1))
+        if ug is None:
+            ug = jnp.zeros((N, nu), dtype)
+        return ControllerState(
+            xg=jnp.asarray(xg, dtype), ug=jnp.asarray(ug, dtype),
+            x_viable=jnp.asarray(xg, dtype)[-1],
+            fails=jnp.zeros((), jnp.int32),
+            r=jnp.asarray(self.N, jnp.int32),
+            current_step=jnp.zeros((), jnp.int32),
+            last_status=jnp.full((), 4, jnp.int32))
+
+    def set_guess(self, state: ControllerState, xg, ug) -> ControllerState:
+        # reference setGuess also refreshes x_viable (controller.py:390-393)
+        return dataclasses.replace(state, xg=xg, ug=ug, x_viable=xg[-1])
+
+    # ------------------------------------------------------------ schedule
+
+    def _traj_window(self, state: ControllerState, dtype):
+        tr = jnp.asarray(self.traj, dtype)           # (3, T)
+        w = jax.lax.dynamic_slice_in_dim(
+            tr, state.current_step, self.N + 1, axis=1)
+        return w.T                                    # (N+1, 3)
+
+    def schedule(self, state: ControllerState) -> NodeSchedule:
+        dtype = state.xg.dtype
+        cfg = self.cfg
+        N = self.N
+        sched = self.spec.default_schedule(dtype)
+        sched = dataclasses.replace(sched, p_ee=self._traj_window(state, dtype),
+                                    alpha=jnp.asarray(cfg.alpha, dtype))
+        if self.terminal_zero_vel:
+            nq = self.model.nq
+            sched = dataclasses.replace(
+                sched,
+                lbx=sched.lbx.at[N, nq:].set(0.0),
+                ubx=sched.ubx.at[N, nq:].set(0.0))
+        if self.soft_terminal_set or self.hard_terminal_set:
+            soft = 1.0 if self.soft_terminal_set else 0.0
+            w = cfg.ws_r if self.soft_terminal_set else 0.0
+            sched = dataclasses.replace(
+                sched,
+                safe_active=sched.safe_active.at[N].set(1.0),
+                safe_soft=sched.safe_soft.at[N].set(soft),
+                safe_zl=sched.safe_zl.at[N].set(w),
+                safe_zu=sched.safe_zu.at[N].set(w))
+        return sched
+
+    # ------------------------------------------------------------ pieces
+
+    def guess_correction(self, state: ControllerState) -> ControllerState:
+        """Re-rollout the guess through the nominal dynamics
+        (controller.py:226-231)."""
+        if self.skip_guess_correction:
+            return state
+        xg = self.model.rollout(state.xg[0], state.ug)
+        return dataclasses.replace(state, xg=xg)
+
+    def solve(self, state: ControllerState, x, sched) -> SolveResult:
+        if self.rti_iters <= 1:
+            return rti_step(self.spec, state.xg, state.ug, x, sched,
+                            qp_iters=self.qp_iters)
+        return sqp_solve(self.spec, state.xg, state.ug, x, sched,
+                         max_iters=self.rti_iters, qp_iters=self.qp_iters)
+
+    def check_state_traj(self, xs) -> jax.Array:
+        """Reference checkStateConstraints on a trajectory: bounds on all
+        nodes, collision on node 0 only (see module docstring)."""
+        ok = jnp.all(jax.vmap(self.model.check_state_bounds)(xs))
+        return jnp.logical_and(ok, self.model.check_collision(xs[0]))
+
+    def check_safe_nodes(self, xs, sched) -> jax.Array:
+        """(N+1,) bool: safe-set membership of each node (fixed alpha)."""
+        if self.safe_set is None:
+            return jnp.ones(xs.shape[0], bool)
+        return jax.vmap(lambda x: self.safe_set.check(x, sched.alpha))(xs)
+
+    def provide_control(self, state: ControllerState, res: SolveResult,
+                        accept) -> tuple[jax.Array, ControllerState]:
+        """Accept-or-rollback + shift-by-one warm start
+        (controller.py:169-184): on failure replay the shifted old guess."""
+        u_ok = res.us[0]
+        u_bad = state.ug[0]
+        xs = jnp.where(accept, res.xs, state.xg)
+        us = jnp.where(accept, res.us, state.ug)
+        xg = jnp.roll(xs, -1, axis=0).at[-1].set(xs[-1])
+        ug = jnp.roll(us, -1, axis=0).at[-1].set(us[-1])
+        u = jnp.where(accept, u_ok, u_bad)
+        return u, dataclasses.replace(state, xg=xg, ug=ug)
+
+    # ------------------------------------------------------------ step
+
+    def _accept(self, state, res) -> jax.Array:
+        """Solve acceptance criterion; naive family: status only
+        (controller.py:278-283)."""
+        return res.status == 0
+
+    def step(self, state: ControllerState, x) -> StepResult:
+        state = self.guess_correction(state)
+        sched = self.schedule(state)
+        res = self.solve(state, x, sched)
+        ok = self._accept(state, res)
+        fails = jnp.where(ok, 0, state.fails + 1).astype(jnp.int32)
+        state = dataclasses.replace(state, fails=fails,
+                                    last_status=res.status,
+                                    current_step=state.current_step + 1)
+        u, state = self.provide_control(state, res, fails == 0)
+        return StepResult(u=u, abort=jnp.asarray(False), state=state,
+                          status=res.status, x_temp=res.xs, u_temp=res.us)
+
+
+class TerminalZeroVelocity(MPCController):
+    """Naive + terminal zero-velocity box (controller.py:295-317)."""
+    name = "zerovel"
+    terminal_zero_vel = True
+
+
+class STController(MPCController):
+    """Soft terminal safe-set constraint (controller.py:319-361)."""
+    name = "st"
+    uses_safe_set = True
+    soft_terminal_set = True
+
+
+class STWAController(STController):
+    """ST with abort: viable-state capture + N-1-fails abort
+    (controller.py:364-393)."""
+    name = "stwa"
+    with_abort = True
+
+    def _accept(self, state, res):
+        return jnp.logical_and(res.status == 0, self.check_state_traj(res.xs))
+
+    def step(self, state: ControllerState, x) -> StepResult:
+        state = self.guess_correction(state)
+        sched = self.schedule(state)
+        res = self.solve(state, x, sched)
+        ok = self._accept(state, res)
+
+        # on first failure capture x_guess[-2] as viable (controller.py:382)
+        first_fail = jnp.logical_and(~ok, state.fails == 0)
+        x_viable = jnp.where(first_fail, state.xg[-2], state.x_viable)
+        # abort when the failure streak reaches N-1 (controller.py:384):
+        abort = jnp.logical_and(~ok, state.fails == self.N - 1)
+        fails = jnp.where(ok, 0, state.fails + 1).astype(jnp.int32)
+
+        state_upd = dataclasses.replace(
+            state, fails=fails, x_viable=x_viable, last_status=res.status,
+            current_step=state.current_step + 1)
+        u, state_shifted = self.provide_control(state_upd, res, ok)
+
+        # an aborting tick returns u_guess[0] and does NOT shift the guess
+        # or advance the step counter (controller.py:385)
+        state_out = _tree_where(
+            abort,
+            dataclasses.replace(state, x_viable=x_viable,
+                                last_status=res.status),
+            state_shifted)
+        u = jnp.where(abort, state.ug[0], u)
+        return StepResult(u=u, abort=abort, state=state_out,
+                          status=res.status, x_temp=res.xs, u_temp=res.us)
+
+
+class HTWAController(STWAController):
+    """Hard terminal safe set with abort (controller.py:396-401)."""
+    name = "htwa"
+    soft_terminal_set = False
+    hard_terminal_set = True
+
+
+class RecedingController(HTWAController):
+    """Receding-constraint controller (controller.py:404-502): hard running
+    safe-set row active only at node r (p-gated), soft terminal with ws_t."""
+    name = "receding"
+    running_set = True
+
+    def schedule(self, state: ControllerState) -> NodeSchedule:
+        sched = super().schedule(state)   # terminal hard from HTWA
+        N = self.N
+        dtype = state.xg.dtype
+        cfg = self.cfg
+        idx = jnp.arange(N + 1)
+        # terminal: soft with runtime weight ws_t (controller.py:461-463)
+        active = jnp.zeros(N + 1, dtype).at[N].set(1.0)
+        soft = jnp.zeros(N + 1, dtype).at[N].set(1.0)
+        zl = jnp.zeros(N + 1, dtype).at[N].set(cfg.ws_t)
+        # receding node r: hard running constraint (controller.py:466-469)
+        on_r = jnp.logical_and(idx == state.r, state.r < N)
+        active = jnp.where(on_r, 1.0, active)
+        return dataclasses.replace(sched, safe_active=active, safe_soft=soft,
+                                   safe_zl=zl, safe_zu=zl)
+
+    def _update_r_from_temp(self, r, xs, sched):
+        """r <- (max i in [r+2, N] with x_temp[i] safe) - 1
+        (controller.py:491-493)."""
+        idx = jnp.arange(self.N + 1)
+        safe_ok = self.check_safe_nodes(xs, sched)
+        mask = jnp.logical_and(idx >= r + 2, safe_ok)
+        best = jnp.max(jnp.where(mask, idx, -1))
+        return jnp.where(best >= 0, best - 1, r).astype(jnp.int32)
+
+    def step(self, state: ControllerState, x) -> StepResult:
+        state = self.guess_correction(state)
+        sched = self.schedule(state)
+        res = self.solve(state, x, sched)
+
+        abort_flag = self.cfg.abort_flag
+        r = state.r - 1 if abort_flag else jnp.maximum(state.r - 1, 0)
+        r = r.astype(jnp.int32)
+
+        # r == 0 with abort enabled -> viable state is x_guess[1], reset r=N
+        # and return u_guess[0] without shifting (controller.py:483-487)
+        abort = jnp.logical_and(jnp.asarray(abort_flag), r == 0)
+
+        ok = jnp.logical_and(res.status == 0, self.check_state_traj(res.xs))
+        r_adv = self._update_r_from_temp(r, res.xs, sched)
+        r_new = jnp.where(ok, r_adv, r)
+        fails = jnp.where(ok, 0, state.fails + 1).astype(jnp.int32)
+
+        state_upd = dataclasses.replace(
+            state, fails=fails, r=r_new, last_status=res.status,
+            current_step=state.current_step + 1)
+        u, state_shifted = self.provide_control(state_upd, res, ok)
+
+        state_abort = dataclasses.replace(
+            state, x_viable=state.xg[1], r=jnp.asarray(self.N, jnp.int32),
+            last_status=res.status)
+        state_out = _tree_where(abort, state_abort, state_shifted)
+        u = jnp.where(abort, state.ug[0], u)
+        return StepResult(u=u, abort=abort, state=state_out,
+                          status=res.status, x_temp=res.xs, u_temp=res.us)
+
+
+class RealReceding(RecedingController):
+    """Receding via pinned state instead of a safe-set running row
+    (controller.py:504-565): node r box bounds squeeze to the previous
+    guess +-1e-3; terminal safe set hard... (soft via ws_t at runtime)."""
+    name = "real_receding"
+    skip_guess_correction = True
+
+    def schedule(self, state: ControllerState) -> NodeSchedule:
+        # terminal soft-with-ws_t as in Receding, but NO running safe row
+        sched = MPCController.schedule(self, state)
+        N = self.N
+        dtype = state.xg.dtype
+        cfg = self.cfg
+        active = jnp.zeros(N + 1, dtype).at[N].set(1.0)
+        soft = jnp.zeros(N + 1, dtype).at[N].set(1.0)
+        zl = jnp.zeros(N + 1, dtype).at[N].set(cfg.ws_t)
+        sched = dataclasses.replace(sched, safe_active=active, safe_soft=soft,
+                                    safe_zl=zl, safe_zu=zl)
+        # pin node r to x_guess[r+1] +- 1e-3 (controller.py:530-532)
+        idx = jnp.arange(N + 1)[:, None]
+        pin = jnp.logical_and(idx == state.r, state.r < N)
+        xg_next = jnp.roll(state.xg, -1, axis=0)      # row r -> xg[r+1]
+        lbx = jnp.where(pin, xg_next - 1e-3, sched.lbx)
+        ubx = jnp.where(pin, xg_next + 1e-3, sched.ubx)
+        return dataclasses.replace(sched, lbx=lbx, ubx=ubx)
+
+
+class ParallelController(RecedingController):
+    """Per tick, solve one OCP per candidate constraint node n = N..1 and
+    keep the solution with the largest verified safe node
+    (controller.py:567-644). The reference executes the N solves serially;
+    here they are one extra vmapped axis — the TPU-native realization of
+    the algorithm's parallelism (SURVEY.md §2.3)."""
+    name = "parallel"
+    hard_terminal_set = True
+    soft_terminal_set = False
+
+    def _schedule_for_n(self, state: ControllerState, n) -> NodeSchedule:
+        sched = MPCController.schedule(self, state)
+        N = self.N
+        dtype = state.xg.dtype
+        idx = jnp.arange(N + 1)
+        active = jnp.where(idx == n, 1.0, 0.0).astype(dtype)
+        return dataclasses.replace(
+            sched, safe_active=active,
+            safe_soft=jnp.zeros(N + 1, dtype),
+            safe_zl=jnp.zeros(N + 1, dtype), safe_zu=jnp.zeros(N + 1, dtype))
+
+    def step(self, state: ControllerState, x) -> StepResult:
+        state = self.guess_correction(state)
+        N = self.N
+        cands = jnp.arange(N, 0, -1)                  # n = N..1
+
+        def solve_n(n):
+            sched = self._schedule_for_n(state, n)
+            res = self.solve(state, x, sched)
+            safe_ok = self.check_safe_nodes(res.xs, sched)
+            idx = jnp.arange(N + 1)
+            mask = jnp.logical_and(idx >= state.r, safe_ok)
+            checked_r = jnp.maximum(jnp.max(jnp.where(mask, idx, 0)), 0)
+            cv = jnp.where(checked_r >= state.r, checked_r,
+                           jnp.minimum(n, state.r))
+            success = jnp.logical_and(
+                jnp.logical_and(res.status == 0, cv - state.r >= 0),
+                self.check_state_traj(res.xs))
+            return jnp.where(success, cv, 0).astype(jnp.int32), res
+
+        results, ress = jax.vmap(solve_n)(cands)
+        best_i = jnp.argmax(results)                  # ties -> largest n
+        node_success = results[best_i]
+        res = jax.tree.map(lambda a: a[best_i], ress)
+
+        succ = node_success > 1
+        fails = jnp.where(succ, 0, state.fails + 1).astype(jnp.int32)
+        abort = jnp.logical_and(~succ, state.r == 1)
+        r_new = jnp.where(succ, node_success, state.r) - 1
+
+        state_upd = dataclasses.replace(
+            state, fails=fails, r=r_new.astype(jnp.int32),
+            last_status=res.status, current_step=state.current_step + 1)
+        u, state_shifted = self.provide_control(state_upd, res, succ)
+
+        state_abort = dataclasses.replace(
+            state, x_viable=state.xg[1], r=jnp.asarray(self.N, jnp.int32),
+            last_status=res.status)
+        state_out = _tree_where(abort, state_abort, state_shifted)
+        u = jnp.where(abort, state.ug[0], u)
+        return StepResult(u=u, abort=abort, state=state_out,
+                          status=res.status, x_temp=res.xs, u_temp=res.us)
+
+
+class SafeSetEverywhere(STController):
+    """Hard safe-set rows at every node 1..N (controller.py:646-689)."""
+    name = "constraint_everywhere"
+    soft_terminal_set = False
+
+    def schedule(self, state: ControllerState) -> NodeSchedule:
+        sched = MPCController.schedule(self, state)
+        dtype = state.xg.dtype
+        active = jnp.ones(self.N + 1, dtype).at[0].set(0.0)
+        return dataclasses.replace(
+            sched, safe_active=active,
+            safe_soft=jnp.zeros(self.N + 1, dtype),
+            safe_zl=jnp.zeros(self.N + 1, dtype),
+            safe_zu=jnp.zeros(self.N + 1, dtype))
+
+    def _accept(self, state, res):
+        return jnp.logical_and(res.status == 0, self.check_state_traj(res.xs))
+
+
+class SafeBackupController(MPCController):
+    """The abort solver (controller.py:692-712): brake to zero terminal
+    velocity. Objective: the reference's SafeAbortOCP velocity penalty
+    (ocp.py:291-303) instead of mpc.py's ZeroCost, whose zero Hessian is
+    singular; the solution set (braking trajectories) is the same."""
+    name = "backup"
+    terminal_zero_vel = True
+
+    def __init__(self, model, N=None, **kw):
+        N = int(N if N is not None else model.cfg.back_hor)
+        kw.setdefault("vel_penalty", 1e4)
+        kw.setdefault("lm", 0.0)
+        super().__init__(model, N=N, **kw)
+
+    def solve_backup(self, x_viable, max_iters: int = 20):
+        """Full-SQP braking solve from a viable state (budget 20 iters,
+        controller.py:712) with a constant cold-start guess (mpc.py:174-176)."""
+        N = self.N
+        xg = jnp.tile(x_viable, (N + 1, 1))
+        ug = jnp.zeros((N, self.model.nu), x_viable.dtype)
+        sched = self.schedule(self.initial_state(x_viable))
+        return sqp_solve(self.spec, xg, ug, x_viable, sched,
+                         max_iters=max_iters, qp_iters=self.qp_iters)

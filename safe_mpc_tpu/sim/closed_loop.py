@@ -1,0 +1,327 @@
+"""Batched closed-loop MPC simulation with the safe-abort state machine.
+
+TPU-native equivalent of the reference's experiment driver (mpc.py:86-317):
+per problem, run `n_steps` of controller.step -> plant -> checks, with the
+abort machinery — on an abort flag, solve the SafeBackup braking OCP from
+the viable state, follow the abort trajectory under PD correction
+(kp=1, kd=1e2, mpc.py:97,130-146), keep stabilizing until |v| < 5e-3, then
+resume MPC — and classify outcomes {converged, collision, viable,
+unconverged} (mpc.py:283-291).
+
+The whole batch advances in one `lax.scan`; per-problem divergent control
+flow (MPC / abort-follow / PD-stabilize / done) is a masked mode machine.
+The expensive backup solve runs under a whole-batch `lax.cond`, so it
+costs nothing on steps where no problem aborts.
+
+Reference noise quirk reproduced: `model.reset_seed(i)` is called every
+inner step (mpc.py:126-127), so the Gaussian control noise is a constant
+per-problem torque bias, not white noise. `control_noise_mode='white'`
+gives the per-step-draw variant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..controllers.base import (ControllerState, MPCController,
+                                SafeBackupController, _tree_where)
+from ..models.robot import InertialParams
+
+MODE_MPC = 0
+MODE_ABORT = 1
+MODE_DONE = 2
+
+
+def _tree_where_b(pred, a, b):
+    """Leaf-wise where with a (B,) predicate broadcast over leaf ranks."""
+    def sel(x, y):
+        p = pred.reshape(pred.shape + (1,) * (x.ndim - pred.ndim))
+        return jnp.where(p, x, y)
+    return jax.tree.map(sel, a, b)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SimState:
+    x: jax.Array             # (B, nx)
+    ctrl: ControllerState    # batched
+    mode: jax.Array          # (B,) int32
+    ja: jax.Array            # (B,) int32 abort-follow index
+    x_abort: jax.Array       # (B, backN+1, nx)
+    u_abort: jax.Array       # (B, backN, nu)
+    failed: jax.Array        # (B,) bool (bounds/collision/abort-failure)
+    viable: jax.Array        # (B,) bool (a backup solve succeeded)
+    x_viable: jax.Array      # (B, nx) last viable state handed to backup
+    counters: jax.Array      # (B, 5) violation counters (mpc.py:94)
+    steps_done: jax.Array    # (B,) int32
+    key: jax.Array           # (B,) PRNG keys
+    tau_bias: jax.Array      # (B, nu) constant control-noise bias
+
+
+@dataclass
+class SimResult:
+    xs: np.ndarray           # (B, n_steps+1, nx) trajectories (NaN after fail)
+    us: np.ndarray           # (B, n_steps, nu)
+    rs: np.ndarray           # (B, n_steps) receding index log
+    conv_idx: list
+    collisions_idx: list
+    viable_idx: list
+    unconv_idx: list
+    x_viable: np.ndarray
+    counters: np.ndarray     # (B, 5)
+    final_state: SimState
+
+
+class ClosedLoopSim:
+    def __init__(self, controller: MPCController,
+                 backup: SafeBackupController | None = None,
+                 kp: float = 1.0, kd: float = 1e2,
+                 control_noise_mode: str = "bias",
+                 log_trajectories: bool = True):
+        self.controller = controller
+        self.model = controller.model
+        self.cfg = controller.cfg
+        self.backup = backup
+        self.kp, self.kd = kp, kd
+        self.control_noise_mode = control_noise_mode
+        self.log_trajectories = log_trajectories
+
+    # ------------------------------------------------------------- init
+
+    def initial_state(self, x0s, xg=None, ug=None, keys=None) -> SimState:
+        B = x0s.shape[0]
+        nx, nu, nq = self.model.nx, self.model.nu, self.model.nq
+        dtype = x0s.dtype
+        if keys is None:
+            keys = jax.random.split(jax.random.PRNGKey(0), B)
+        if xg is not None:
+            ctrl = jax.vmap(self.controller.initial_state)(x0s, xg, ug)
+        else:
+            ctrl = jax.vmap(lambda x: self.controller.initial_state(x))(x0s)
+        backN = self.backup.N if self.backup is not None else 1
+        sigma = jnp.asarray(self.model.tau_max, dtype) \
+            * (self.cfg.control_noise / 100.0)
+        tau_bias = sigma * jax.vmap(
+            lambda k: jax.random.normal(k, (nu,), dtype))(keys)
+        return SimState(
+            x=x0s, ctrl=ctrl,
+            mode=jnp.zeros(B, jnp.int32),
+            ja=jnp.zeros(B, jnp.int32),
+            x_abort=jnp.zeros((B, backN + 1, nx), dtype),
+            u_abort=jnp.zeros((B, backN, nu), dtype),
+            failed=jnp.zeros(B, bool),
+            viable=jnp.zeros(B, bool),
+            x_viable=jnp.full((B, nx), jnp.nan, dtype),
+            counters=jnp.zeros((B, 5), jnp.int32),
+            steps_done=jnp.zeros(B, jnp.int32),
+            key=keys, tau_bias=tau_bias)
+
+    # ------------------------------------------------------------- plant
+
+    def _plant(self, x, u, key, bias, params):
+        """Noisy plant step (env_model.py:192-206) with the constant-bias
+        noise semantics (see module docstring)."""
+        nq = self.model.nq
+        tau = self.model.robot.inverse_dynamics(x[:nq], x[nq:], u, params)
+        if self.control_noise_mode == "white":
+            sigma = jnp.asarray(self.model.tau_max, x.dtype) \
+                * (self.cfg.control_noise / 100.0)
+            tau = tau + sigma * jax.random.normal(key, (self.model.nu,), x.dtype)
+        else:
+            tau = tau + bias
+        tau_sat = jnp.clip(tau, jnp.asarray(self.model.tau_min, x.dtype),
+                           jnp.asarray(self.model.tau_max, x.dtype))
+        u_act = self.model.robot.forward_dynamics(x[:nq], x[nq:], tau_sat,
+                                                  params)
+        return self.model.step(x, u_act), u_act
+
+    # ------------------------------------------------------------- one step
+
+    def _abort_control(self, st_x, ja, x_abort, u_abort):
+        """PD tracking of the abort trajectory (mpc.py:130-146)."""
+        nq = self.model.nq
+        backN = self.backup.N
+        jc = jnp.minimum(ja, backN - 1)
+        ref_x = x_abort[jc]
+        follow = u_abort[jc] \
+            - self.kp * (st_x[:nq] - ref_x[:nq]) \
+            - self.kd * (st_x[nq:] - ref_x[nq:])
+        ref_e = x_abort[backN]
+        stabil = -(self.kp * (st_x[:nq] - ref_e[:nq])
+                   + 3e2 * (st_x[nq:] - ref_e[nq:]))
+        return jnp.where(ja < backN, follow, stabil), \
+            jnp.logical_and(ja >= backN,
+                            jnp.all(jnp.abs(st_x[nq:]) < 5e-3))
+
+    def step(self, st: SimState, plant_params: InertialParams):
+        """One batched closed-loop tick. Returns (new_state, per-step log)."""
+        model, ctrl, cfg = self.model, self.controller, self.cfg
+        B = st.x.shape[0]
+        nq = model.nq
+
+        in_mpc = st.mode == MODE_MPC
+        in_abort = st.mode == MODE_ABORT
+        alive = st.mode != MODE_DONE
+
+        # abort-following control + resume condition (needs no solver)
+        if self.backup is not None:
+            u_ab, can_resume = jax.vmap(self._abort_control)(
+                st.x, st.ja, st.x_abort, st.u_abort)
+        else:
+            u_ab = jnp.zeros_like(st.x[:, :model.nu])
+            can_resume = jnp.zeros(B, bool)
+
+        # controller step runs for problems in MPC mode or resuming
+        run_ctrl = jnp.logical_or(in_mpc, jnp.logical_and(in_abort, can_resume))
+        res = jax.vmap(ctrl.step)(st.ctrl, st.x)
+        ctrl_next = _tree_where_b(run_ctrl, res.state, st.ctrl)
+
+        sa_now = jnp.logical_and(run_ctrl, res.abort)
+
+        # ---- backup solve for problems that just aborted (mpc.py:161-190)
+        if self.backup is not None:
+            xv = jax.vmap(lambda c: c.x_viable)(res.state)
+
+            def do_backup(xvs):
+                return jax.vmap(
+                    lambda x: self.backup.solve_backup(x))(xvs)
+
+            def no_backup(xvs):
+                return _dummy_solve(B, self.backup.N, model, xvs.dtype)
+
+            brs = jax.lax.cond(jnp.any(sa_now), do_backup, no_backup, xv)
+            backup_ok = jnp.logical_and(sa_now, brs.status == 0)
+            backup_failed = jnp.logical_and(sa_now, brs.status != 0)
+            x_abort = jnp.where(backup_ok[:, None, None], brs.xs, st.x_abort)
+            u_abort = jnp.where(backup_ok[:, None, None], brs.us, st.u_abort)
+            x_viable = jnp.where(sa_now[:, None], xv, st.x_viable)
+        else:
+            backup_ok = jnp.zeros(B, bool)
+            backup_failed = sa_now       # no backup -> abort = failure
+            x_abort, u_abort, x_viable = st.x_abort, st.u_abort, st.x_viable
+
+        # ---- mode transitions
+        mode = st.mode
+        mode = jnp.where(backup_ok, MODE_ABORT, mode)
+        mode = jnp.where(backup_failed, MODE_DONE, mode)
+        resumed = jnp.logical_and(in_abort, can_resume)
+        mode = jnp.where(jnp.logical_and(resumed, ~res.abort), MODE_MPC, mode)
+        # a resuming step that aborts again goes back through backup above
+        ja = jnp.where(backup_ok, 0, st.ja)
+        ja = jnp.where(jnp.logical_and(in_abort, ~resumed), st.ja + 1, ja)
+
+        # ---- control selection
+        u = jnp.where(run_ctrl[:, None], res.u, u_ab)
+
+        # ---- plant integration for alive problems
+        keys = jax.vmap(jax.random.split)(st.key)
+        key_next, key_use = keys[:, 0], keys[:, 1]
+        x_next, _ = jax.vmap(self._plant)(st.x, u, key_use, st.tau_bias,
+                                          plant_params)
+        advancing = jnp.logical_and(alive, ~backup_failed)
+        x_next = jnp.where(advancing[:, None], x_next, st.x)
+
+        # ---- violation counters (mpc.py:195-238)
+        c0 = ~jax.vmap(ctrl.check_state_traj)(res.x_temp)
+        tau_g = jax.vmap(lambda xs, us: jax.vmap(model.tau)(xs[:-1], us))(
+            res.state.xg, res.state.ug)
+        c1 = ~jax.vmap(lambda t: jnp.all(model.check_torque_bounds(t)))(tau_g)
+        if ctrl.safe_set is not None:
+            ridx = jax.vmap(lambda c: c.r)(res.state)
+            sel = jnp.where(ctrl.running_set, ridx, res.x_temp.shape[1] - 1)
+            x_at_r = jax.vmap(lambda xs, i: xs[i])(res.x_temp, sel)
+            c3 = ~jax.vmap(lambda x: ctrl.safe_set.check(x))(x_at_r)
+        else:
+            c3 = jnp.zeros(B, bool)
+        c4 = res.status == 4
+        counts = jnp.stack(
+            [c0, c1, jnp.zeros(B, bool), c3, c4], axis=1).astype(jnp.int32)
+        counters = st.counters + jnp.where(run_ctrl[:, None], counts, 0)
+
+        # ---- failure checks on the new state (mpc.py:246-264)
+        bounds_ok = jax.vmap(model.check_state_bounds)(x_next)
+        coll_ok = jax.vmap(model.check_collision)(x_next)
+        fail_now = jnp.logical_and(advancing, ~jnp.logical_and(bounds_ok,
+                                                               coll_ok))
+        failed = jnp.logical_or(st.failed,
+                                jnp.logical_or(fail_now, backup_failed))
+        mode = jnp.where(fail_now, MODE_DONE, mode)
+
+        st2 = dataclasses.replace(
+            st, x=x_next, ctrl=ctrl_next, mode=mode, ja=ja,
+            x_abort=x_abort, u_abort=u_abort, failed=failed,
+            viable=jnp.logical_or(st.viable, backup_ok),
+            x_viable=x_viable, counters=counters,
+            steps_done=st.steps_done + advancing.astype(jnp.int32),
+            key=key_next)
+        ridx = jax.vmap(lambda c: c.r)(ctrl_next)
+        log = (st.x, jnp.where(alive[:, None], u, jnp.nan), ridx)
+        return st2, log
+
+    # ------------------------------------------------------------- run
+
+    def run(self, x0s, xg=None, ug=None, n_steps: int | None = None,
+            plant_params: InertialParams | None = None,
+            keys=None) -> SimResult:
+        """Simulate the whole batch for n_steps and classify outcomes."""
+        model, cfg = self.model, self.cfg
+        n_steps = int(n_steps or cfg.n_steps)
+        B = x0s.shape[0]
+        if plant_params is None:
+            plant_params = jax.tree.map(
+                lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim),
+                model.robot.default_params)
+        st0 = self.initial_state(x0s, xg, ug, keys)
+
+        def scan_step(st, _):
+            st2, log = self.step(st, plant_params)
+            return st2, (log if self.log_trajectories else None)
+
+        st, logs = jax.lax.scan(scan_step, st0, None, length=n_steps)
+
+        # outcome classification (mpc.py:273-291): convergence requires the
+        # full horizon (broken runs have no final state)
+        ee = jax.vmap(model.ee_pos)(st.x)
+        ref = jnp.asarray(model.ee_ref, x0s.dtype)
+        completed = st.steps_done == n_steps
+        err = jnp.linalg.norm(ee - ref[None], axis=1)
+        conv = jnp.logical_and(completed, err < cfg.tol_conv)
+        collided = st.failed
+        viable = jnp.logical_and(st.viable, ~jnp.logical_or(conv, collided))
+
+        conv_idx = np.flatnonzero(np.asarray(conv)).tolist()
+        coll_idx = np.flatnonzero(np.asarray(collided)).tolist()
+        viab_idx = np.flatnonzero(np.asarray(viable)).tolist()
+        unconv = sorted(set(range(B)) - set(conv_idx) - set(coll_idx)
+                        - set(viab_idx))
+
+        if self.log_trajectories:
+            xs_log, us_log, rs_log = logs
+            xs = np.concatenate(
+                [np.swapaxes(np.asarray(xs_log), 0, 1),
+                 np.asarray(st.x)[:, None]], axis=1)
+            us = np.swapaxes(np.asarray(us_log), 0, 1)
+            rs = np.swapaxes(np.asarray(rs_log), 0, 1)
+        else:
+            xs = us = rs = np.zeros(0)
+        return SimResult(xs=xs, us=us, rs=rs, conv_idx=conv_idx,
+                         collisions_idx=coll_idx, viable_idx=viab_idx,
+                         unconv_idx=unconv,
+                         x_viable=np.asarray(st.x_viable),
+                         counters=np.asarray(st.counters),
+                         final_state=st)
+
+
+def _dummy_solve(B, backN, model, dtype):
+    from ..ops.sqp import SolveResult
+    return SolveResult(
+        xs=jnp.zeros((B, backN + 1, model.nx), dtype),
+        us=jnp.zeros((B, backN, model.nu), dtype),
+        status=jnp.full((B,), 4, jnp.int32),
+        qp_viol=jnp.ones((B,), dtype),
+        iters=jnp.zeros((B,), jnp.int32))

@@ -1,0 +1,126 @@
+"""Closed-loop simulator tests: outcome classification, abort machinery,
+noise ensembles (reference mpc.py behavior)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safe_mpc_tpu.config import load_config
+from safe_mpc_tpu.controllers.base import (MPCController, SafeBackupController,
+                                           STWAController, StepResult)
+from safe_mpc_tpu.models.manipulator import ManipulatorModel
+from safe_mpc_tpu.sim.closed_loop import MODE_ABORT, MODE_DONE, ClosedLoopSim
+
+N = 8
+
+
+@pytest.fixture(scope="module")
+def model():
+    return ManipulatorModel(load_config().with_(N=N, use_net=False,
+                                                back_hor=12))
+
+
+def x0_batch(model, B=3):
+    mid = (model.x_min + model.x_max) / 2
+    x = np.tile(mid, (B, 1))
+    x[:, model.nq:] = 0.0
+    if B > 1:
+        x[1, 0] += 0.15
+    if B > 2:
+        x[2, 1] += 0.2
+    return jnp.asarray(x)
+
+
+def test_nominal_sim_classification(model):
+    ctrl = MPCController(model, N=N)
+    sim = ClosedLoopSim(ctrl, backup=None)
+    x0s = x0_batch(model)
+    res = sim.run(x0s, n_steps=40)
+    B = x0s.shape[0]
+    # partition property: every problem in exactly one outcome set
+    all_idx = sorted(res.conv_idx + res.collisions_idx + res.viable_idx
+                     + res.unconv_idx)
+    assert all_idx == list(range(B))
+    assert res.xs.shape == (B, 41, model.nx)
+    assert res.us.shape == (B, 40, model.nu)
+    assert np.all(np.isfinite(res.xs[:, 0]))
+
+
+def test_sim_with_noise_ensemble(model):
+    # batched perturbed inertial params = the URDF-noise ensembles
+    ctrl = MPCController(model, N=N)
+    sim = ClosedLoopSim(ctrl, backup=None)
+    x0s = x0_batch(model, 4)
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
+    params = jax.vmap(
+        lambda k: model.robot.default_params.perturbed(k, 5.0, 5.0, 5.0))(keys)
+    res = sim.run(x0s, n_steps=25, plant_params=params)
+    # different plants -> different trajectories from identical x0? (x0s
+    # differ here, so just check integrity)
+    assert np.all(np.isfinite(res.xs[:, 0]))
+    assert res.counters.shape == (4, 5)
+
+
+class AbortAtStep(STWAController):
+    """Deterministic abort at a fixed step — drives the sim's abort path."""
+
+    abort_at = 5
+
+    def step(self, state, x):
+        res = super().step(state, x)
+        trigger = state.current_step == self.abort_at
+        return StepResult(
+            u=res.u, abort=jnp.logical_or(res.abort, trigger),
+            state=res.state, status=res.status,
+            x_temp=res.x_temp, u_temp=res.u_temp)
+
+
+def test_abort_backup_and_recovery(model):
+    ctrl = AbortAtStep(model, N=N)
+    backup = SafeBackupController(model, N=12)
+    sim = ClosedLoopSim(ctrl, backup=backup)
+    mid = (model.x_min + model.x_max) / 2
+    x0 = jnp.asarray(mid).at[model.nq:].set(0.0)
+    x0s = jnp.stack([x0, x0.at[0].add(0.1)])
+    res = sim.run(x0s, n_steps=50)
+    st = res.final_state
+    # both problems aborted, backup succeeded -> viable flag set
+    assert bool(jnp.all(st.viable))
+    assert np.all(np.isfinite(res.x_viable))
+    # after following the 12-step abort trajectory + stabilization the arm
+    # is (nearly) stopped or back in MPC mode
+    assert not bool(jnp.any(st.failed))
+    # recovery completed: braked below the resume threshold and back in MPC
+    # mode (mpc.py:136-144), moving toward the target again
+    assert np.all(np.asarray(st.mode) == 0)
+    # viable classification (no convergence in 50 steps)
+    assert res.viable_idx == [0, 1]
+
+
+def test_abort_without_backup_is_failure(model):
+    ctrl = AbortAtStep(model, N=N)
+    sim = ClosedLoopSim(ctrl, backup=None)
+    mid = (model.x_min + model.x_max) / 2
+    x0s = jnp.asarray(mid)[None].at[:, model.nq:].set(0.0)
+    res = sim.run(x0s, n_steps=20)
+    assert res.collisions_idx == [0]
+    assert int(res.final_state.mode[0]) == MODE_DONE
+
+
+def test_constant_bias_noise_mode(model):
+    # 'bias' mode (reference semantics): two runs with the same key give
+    # identical trajectories; different keys differ.
+    ctrl = MPCController(model, N=N)
+    sim = ClosedLoopSim(ctrl, backup=None, control_noise_mode="bias")
+    model_noisy = ManipulatorModel(
+        load_config().with_(N=N, use_net=False, control_noise=2.0))
+    ctrl2 = MPCController(model_noisy, N=N)
+    sim2 = ClosedLoopSim(ctrl2, backup=None, control_noise_mode="bias")
+    x0s = x0_batch(model, 2)
+    keys = jax.random.split(jax.random.PRNGKey(3), 2)
+    r1 = sim2.run(x0s, n_steps=10, keys=keys)
+    r2 = sim2.run(x0s, n_steps=10, keys=keys)
+    np.testing.assert_allclose(r1.xs, r2.xs, atol=0)
