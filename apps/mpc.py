@@ -1,0 +1,92 @@
+"""Closed-loop MPC experiment driver (reference scripts/mpc.py).
+
+Loads the guess pickle, builds the requested controller + SafeBackup,
+runs the batched noisy closed loop (the reference's per-test Python loop
+becomes one vmapped program), prints the outcome summary and the 99%
+timing quantiles, saves the mpc pickle, and exits with the number of
+collisions (mpc.py:317 — shell-level testability)."""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from _common import setup_runtime
+from safe_mpc_tpu.config import config_from_args, parse_args
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    backend, dtype = setup_runtime(force_cpu=args.get("cpu", False))
+    print(f"backend={backend} dtype={dtype}")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from safe_mpc_tpu.controllers.base import SafeBackupController
+    from safe_mpc_tpu.controllers.registry import get_controller
+    from safe_mpc_tpu.models.manipulator import ManipulatorModel
+    from safe_mpc_tpu.sim.artifacts import (guess_path, load_guess, mpc_path,
+                                            save_mpc_result)
+    from safe_mpc_tpu.sim.closed_loop import ClosedLoopSim
+    from safe_mpc_tpu.utils.timing import print_quantiles, profile_controller
+
+    cfg = config_from_args(args, rti=True)
+    if backend != "cpu":
+        cfg = cfg.with_(dtype="float32")
+    model = ManipulatorModel(cfg)
+    cont_name = args["controller"]
+    horizon = args["horizon"]
+
+    controller = get_controller(cont_name, model, N=horizon)
+    backup = SafeBackupController(model, N=cfg.back_hor)
+
+    gpath = guess_path(cfg, cont_name, horizon)
+    print(f"loading guess {gpath}")
+    xg, ug = load_guess(gpath)
+    test_num = args.get("batch") or min(cfg.test_num, xg.shape[0])
+    xg, ug = xg[:test_num], ug[:test_num]
+    x0s = jnp.asarray(xg[:, 0, :])
+
+    # model-noise ensemble: batched perturbed inertial parameters
+    # (replaces the *_randomized*.urdf files, utils.py:126-171)
+    if cfg.noise > 0:
+        keys = jax.random.split(jax.random.PRNGKey(1234), test_num)
+        plant_params = jax.vmap(
+            lambda k: model.robot.default_params.perturbed(
+                k, cfg.noise, cfg.noise, cfg.noise))(keys)
+    else:
+        plant_params = jax.tree.map(
+            lambda a: jnp.tile(a[None], (test_num,) + (1,) * a.ndim),
+            model.robot.default_params)
+
+    sim = ClosedLoopSim(controller, backup=backup)
+    t0 = time.time()
+    res = sim.run(x0s, xg=jnp.asarray(xg), ug=jnp.asarray(ug),
+                  plant_params=plant_params)
+    wall = time.time() - t0
+    n_solves = test_num * cfg.n_steps
+    print(f"\nSimulated {test_num} tests x {cfg.n_steps} steps in {wall:.1f}s "
+          f"({n_solves / wall:.0f} RTI solves/s incl. compile)")
+
+    print(f"Completed task: {len(res.conv_idx)}"
+          f"\nCollisions: {len(res.collisions_idx)}"
+          f"\nViable states: {len(res.viable_idx)}"
+          f"\nNot converged: {len(res.unconv_idx)}")
+    c = res.counters.sum(axis=0)
+    print("Failing reasons:"
+          f"\n\t x bounds: {c[0]}\n\t tau bounds: {c[1]}"
+          f"\n\t Obstacle: {c[2]}\n\t Safe: {c[3]}\n\t Solver: {c[4]}")
+
+    times = profile_controller(controller, x0s, reps=10)
+    print_quantiles(times)
+
+    out = mpc_path(cfg, cont_name, horizon)
+    save_mpc_result(out, res)
+    print(f"saved {out}")
+    sys.exit(len(res.collisions_idx))
+
+
+if __name__ == "__main__":
+    main()

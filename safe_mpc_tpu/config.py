@@ -346,6 +346,8 @@ def parse_args(argv: list[str] | None = None) -> dict[str, Any]:
                         help="number of problems solved per batched program "
                              "(0 = test_num)")
     parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (f64 numerics)")
     return vars(parser.parse_args(argv))
 
 

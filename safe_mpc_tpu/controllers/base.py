@@ -174,6 +174,20 @@ class MPCController:
         ok = jnp.all(jax.vmap(self.model.check_state_bounds)(xs))
         return jnp.logical_and(ok, self.model.check_collision(xs[0]))
 
+    def check_guess(self, xs, us) -> jax.Array:
+        """Reference checkGuess (controller.py:255-258; STWA adds the
+        terminal safe-set membership, controller.py:369-373): running
+        constraints + dynamics consistency + per-node collision."""
+        ok = self.check_state_traj(xs)
+        taus = jax.vmap(self.model.tau)(xs[:-1], us)
+        ok = jnp.logical_and(ok, jnp.all(self.model.check_torque_bounds(taus)))
+        ok = jnp.logical_and(ok, self.model.check_dynamics(xs, us))
+        ok = jnp.logical_and(
+            ok, jnp.all(jax.vmap(self.model.check_collision)(xs)))
+        if self.uses_safe_set and self.with_abort:
+            ok = jnp.logical_and(ok, self.safe_set.check(xs[-1]))
+        return ok
+
     def check_safe_nodes(self, xs, sched) -> jax.Array:
         """(N+1,) bool: safe-set membership of each node (fixed alpha)."""
         if self.safe_set is None:

@@ -183,6 +183,11 @@ def solve_qp(data: QPData, iters: int = 20, mu0: float = 1e2,
     N = data.R.shape[0]
     m = data.h.shape[-1]
     dtype = data.h.dtype
+    if dtype == jnp.float32:
+        # f32 numerics: keep the barrier and the feasibility verdict above
+        # single-precision noise
+        mu_min = max(mu_min, 1e-6)
+        hard_tol = max(hard_tol, 3e-4)
 
     act = data.active
     # Inactive rows are replaced by a trivially-feasible template so that

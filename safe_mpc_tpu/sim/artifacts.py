@@ -1,0 +1,103 @@
+"""Stage artifacts: the reference's pickle protocol (SURVEY.md §2.4).
+
+Filename schema and dict keys match the reference exactly so downstream
+tooling ports unchanged:
+
+* guess:  ``{model}_{cont}_{hor}hor_{alpha}sm_use_net{flag}_{traj}_q_collision_margins_{qm}_{cm}_guess.pkl``
+  -> {'xg': (tests, N+1, nx), 'ug': (tests, N, nu)}   (guess_acados.py:235-244)
+* mpc:    ``..._mpc.pkl`` -> {'x','u','r','conv_idx','collisions_idx',
+  'unconv_idx','viable_idx','x_viable'}               (mpc.py:307-315)
+* scores: ``..._scores.pkl`` -> per-controller {'score','fails',...}
+  (metrics.py:180-182)
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+
+from ..config import SafeMpcConfig
+
+
+def _traj_tag(cfg: SafeMpcConfig) -> str:
+    return "traj_track" if cfg.track_traj else ""
+
+
+def guess_path(cfg: SafeMpcConfig, cont_name: str, horizon: int | None = None) -> str:
+    horizon = int(horizon if horizon is not None else cfg.N)
+    return os.path.join(
+        cfg.data_dir,
+        f"{cfg.urdf_name}_{cont_name}_{horizon}hor_{int(cfg.alpha)}sm_"
+        f"use_net{cfg.use_net}_{_traj_tag(cfg)}_q_collision_margins_"
+        f"{cfg.joint_bounds_margin}_{cfg.collision_margin}_guess.pkl")
+
+
+def mpc_path(cfg: SafeMpcConfig, cont_name: str, horizon: int | None = None) -> str:
+    horizon = int(horizon if horizon is not None else cfg.N)
+    return os.path.join(
+        cfg.data_dir,
+        f"{cfg.urdf_name}_{cont_name}_use_net{cfg.use_net}_{horizon}hor_"
+        f"{int(cfg.alpha)}sm_{_traj_tag(cfg)}noise_{cfg.noise}_control_noise"
+        f"{cfg.control_noise}_q_collision_margins_{cfg.joint_bounds_margin}_"
+        f"{cfg.collision_margin}_mpc.pkl")
+
+
+def scores_path(cfg: SafeMpcConfig) -> str:
+    return os.path.join(cfg.data_dir,
+                        f"{cfg.urdf_name}_{int(cfg.alpha)}sm_scores.pkl")
+
+
+def save_guess(path: str, xg, ug) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump({"xg": np.asarray(xg), "ug": np.asarray(ug)}, f)
+
+
+def load_guess(path: str):
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    return np.asarray(data["xg"]), np.asarray(data["ug"])
+
+
+def save_mpc_result(path: str, result) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump({
+            "x": np.asarray(result.xs),
+            "u": np.asarray(result.us),
+            "r": np.asarray(result.rs),
+            "conv_idx": result.conv_idx,
+            "collisions_idx": result.collisions_idx,
+            "unconv_idx": result.unconv_idx,
+            "viable_idx": result.viable_idx,
+            "x_viable": np.asarray(result.x_viable),
+        }, f)
+
+
+def load_mpc_result(path: str) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def save_scores(path: str, scores: dict) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(scores, f)
+
+
+def save_noise_params(path: str, params) -> None:
+    """Perturbed-inertial ensembles as npz (replaces *_randomized*.urdf)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez(path, mass=np.asarray(params.mass), com=np.asarray(params.com),
+             inertia=np.asarray(params.inertia))
+
+
+def load_noise_params(path: str):
+    from ..models.robot import InertialParams
+    import jax.numpy as jnp
+    z = np.load(path)
+    return InertialParams(mass=jnp.asarray(z["mass"]),
+                          com=jnp.asarray(z["com"]),
+                          inertia=jnp.asarray(z["inertia"]))
