@@ -39,7 +39,10 @@ def main(argv=None):
     cont_name = args["controller"]
     horizon = args["horizon"]
 
-    controller = get_controller(cont_name, model, N=horizon)
+    # --rti_iters > 1 runs multiple SQP iterations per control step — the
+    # role of the reference's IPOPT controller family (mpc_ipopt.py)
+    controller = get_controller(cont_name, model, N=horizon,
+                                rti_iters=args.get("rti_iters"))
     backup = SafeBackupController(model, N=cfg.back_hor)
 
     gpath = guess_path(cfg, cont_name, horizon)

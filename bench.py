@@ -55,10 +55,17 @@ def main():
                            jnp.zeros((batch, model.nq), dtype)], axis=1)
     states = jax.vmap(lambda x: ctrl.initial_state(x))(x0s)
 
-    @jax.jit
-    def step(states, xs):
-        res = jax.vmap(ctrl.step)(states, xs)
+    chunk = int(os.environ.get("BENCH_CHUNK", "0"))
+
+    def one(state, x):
+        res = ctrl.step(state, x)
         return res.state, res.u, res.status
+
+    if chunk and chunk < batch:
+        from safe_mpc_tpu.utils.batching import chunked_vmap
+        step = jax.jit(chunked_vmap(one, chunk))
+    else:
+        step = jax.jit(jax.vmap(one))
 
     t0 = time.time()
     states2, u, status = step(states, x0s)

@@ -348,6 +348,10 @@ def parse_args(argv: list[str] | None = None) -> dict[str, Any]:
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (f64 numerics)")
+    parser.add_argument("--rti_iters", type=int, default=None,
+                        help="SQP iterations per control step (default: "
+                             "config rti_iter; >1 is the analogue of the "
+                             "reference's IPOPT controller family)")
     return vars(parser.parse_args(argv))
 
 

@@ -226,14 +226,16 @@ class ManipulatorModel:
                                     offset=np.asarray(s.spatial_offset))
 
         def capsule_endpoints(entry):
+            # row fns take (x, poses): the chain FK is computed once per
+            # state by `collision_values` and shared by every row
             if entry["kind"] == "fixed_capsule":
                 a, b = entry["a"], entry["b"]
-                return lambda x: (jnp.asarray(a, dtype=x.dtype),
-                                  jnp.asarray(b, dtype=x.dtype))
+                return lambda x, poses: (jnp.asarray(a, dtype=x.dtype),
+                                         jnp.asarray(b, dtype=x.dtype))
             link, T, e0, e1 = entry["link"], entry["T"], entry["e0"], entry["e1"]
 
-            def fn(x):
-                R, p = self.robot.frame_pose(x[: self.nq], link)
+            def fn(x, poses):
+                R, p = self.robot.frame_pose_from(poses, link, dtype=x.dtype)
                 Tw = jnp.concatenate(
                     [jnp.concatenate([R, p[:, None]], axis=1),
                      jnp.asarray([[0.0, 0.0, 0.0, 1.0]], dtype=x.dtype)], axis=0
@@ -262,9 +264,9 @@ class ManipulatorModel:
             ea, eb = capsule_endpoints(caps[name_a]), capsule_endpoints(caps[name_b])
             ra, rb = caps[name_a]["radius"], caps[name_b]["radius"]
 
-            def fn(x, ea=ea, eb=eb):
-                a0, a1 = ea(x)
-                b0, b1 = eb(x)
+            def fn(x, poses, ea=ea, eb=eb):
+                a0, a1 = ea(x, poses)
+                b0, b1 = eb(x, poses)
                 return geom.segment_segment_sqdist(a0, a1, b0, b1)
 
             rows.append(CollisionRow(pair_name, fn,
@@ -278,8 +280,8 @@ class ManipulatorModel:
                                                            - caps[name_a].get("b", 1))))
             obs = spheres[name_b]
 
-            def fn(x, ea=ea, obs=obs, length=length):
-                a0, a1 = ea(x)
+            def fn(x, poses, ea=ea, obs=obs, length=length):
+                a0, a1 = ea(x, poses)
                 return geom.point_segment_sqdist(
                     a0, a1, length, jnp.asarray(obs["position"], dtype=x.dtype))
 
@@ -292,8 +294,8 @@ class ManipulatorModel:
             ra = caps[name_a]["radius"]
             pl = planes[name_b]
             for pt_idx in range(2):  # one row per capsule endpoint
-                def fn(x, ea=ea, pl=pl, pt_idx=pt_idx):
-                    pts = ea(x)
+                def fn(x, poses, ea=ea, pl=pl, pt_idx=pt_idx):
+                    pts = ea(x, poses)
                     return pts[pt_idx][pl["axis"]]
                 rows.append(CollisionRow(
                     f"{pair_name}_{pt_idx}", fn,
@@ -305,9 +307,12 @@ class ManipulatorModel:
             obs = spheres[name_b]
             ra = rspheres[name_a]["radius"]
 
-            def fn(x, obs=obs):
+            def fn(x, poses, obs=obs):
+                R, p = self.robot.frame_pose_from(poses, self.ee_frame,
+                                                  dtype=x.dtype)
+                ee = p + R @ jnp.asarray(self.ee_offset, dtype=x.dtype)
                 return geom.sphere_sphere_sqdist(
-                    self.ee_pos(x), jnp.asarray(obs["position"], dtype=x.dtype))
+                    ee, jnp.asarray(obs["position"], dtype=x.dtype))
 
             rb = obs["radius"]
             rows.append(CollisionRow(pair_name, fn,
@@ -317,8 +322,10 @@ class ManipulatorModel:
             sp = rspheres[name_a]
             pl = planes[name_b]
 
-            def fn(x, sp=sp, pl=pl):
-                p = self.robot.frame_position(x[: self.nq], sp["link"], sp["offset"])
+            def fn(x, poses, sp=sp, pl=pl):
+                R, p0 = self.robot.frame_pose_from(poses, sp["link"],
+                                                   dtype=x.dtype)
+                p = p0 + R @ jnp.asarray(sp["offset"], dtype=x.dtype)
                 return p[pl["axis"]] - pl[("lo", "hi")[pl["real_bound"]]]
 
             ra = sp["radius"]
@@ -331,11 +338,14 @@ class ManipulatorModel:
             raise ValueError(f"unsupported collision pair ({name_a}, {name_b})")
         return rows
 
-    def collision_values(self, x):
-        """(n_collision,) stacked residual values at state x."""
+    def collision_values(self, x, poses=None):
+        """(n_collision,) stacked residual values at state x (the chain FK
+        is computed once and shared across rows)."""
         if not self.collision_rows:
             return jnp.zeros((0,), dtype=jnp.asarray(x).dtype)
-        return jnp.stack([r.fn(x) for r in self.collision_rows])
+        if poses is None:
+            poses = self.robot.joint_poses(jnp.asarray(x)[: self.nq])
+        return jnp.stack([r.fn(x, poses) for r in self.collision_rows])
 
     @property
     def collision_bounds(self):

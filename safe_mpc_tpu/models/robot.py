@@ -232,17 +232,31 @@ class RobotModel:
             axes_w.append(a_w)
         return jnp.stack(Rs), jnp.stack(ps), jnp.stack(axes_w)
 
+    def joint_poses(self, q):
+        """Public chain FK: (R (nq,3,3), p (nq,3), axes_w (nq,3)). Compute
+        once and reuse via `frame_pose_from` when several frames are needed
+        at the same configuration (keeps traced graphs small)."""
+        return self._joint_poses(jnp.asarray(q))
+
+    def frame_pose_from(self, poses, frame: str, dtype=None):
+        """(R, p) of a named frame from precomputed `joint_poses` results."""
+        anc, offset = self.frame_support(frame)
+        R, p, _ = poses
+        off = jnp.asarray(offset, dtype=dtype or R.dtype)
+        if anc < 0:
+            return off[:3, :3], off[:3, 3]
+        Rf = R[anc] @ off[:3, :3]
+        pf = p[anc] + R[anc] @ off[:3, 3]
+        return Rf, pf
+
     def frame_pose(self, q, frame: str):
         """(R, p) world pose of a named link frame."""
         anc, offset = self.frame_support(frame)
         q = jnp.asarray(q)
-        off = jnp.asarray(offset, dtype=q.dtype)
         if anc < 0:
+            off = jnp.asarray(offset, dtype=q.dtype)
             return off[:3, :3], off[:3, 3]
-        R, p, _ = self._joint_poses(q)
-        Rf = R[anc] @ off[:3, :3]
-        pf = p[anc] + R[anc] @ off[:3, 3]
-        return Rf, pf
+        return self.frame_pose_from(self._joint_poses(q), frame, dtype=q.dtype)
 
     def frame_position(self, q, frame: str, local_offset=None):
         """World position of a point given in a link frame (the reference's
@@ -344,26 +358,38 @@ class RobotModel:
         """g(q) = dU/dq, the reference's ``gravity(H_b, q)[6:]``."""
         return jax.grad(lambda qq: self.potential_energy(qq, params))(jnp.asarray(q))
 
-    def bias_force(self, q, v, params: InertialParams | None = None):
-        """h(q, v) = C(q, v) v + g(q) via the Lagrangian identity
-        ``h = (dM/dt) v - 1/2 d(v^T M v)/dq + dU/dq`` — exact, autodiff-only.
-        Equals the reference's ``bias(H_b, q, 0, v)[6:]`` (env_model.py:82).
+    def dynamics_terms(self, q, v, params: InertialParams | None = None):
+        """(M(q), h(q, v)) with one shared mass-matrix Jacobian.
+
+        Lagrangian identity ``h = Mdot v - 1/2 d(v' M v)/dq + dU/dq`` with
+        both velocity terms contracted from a single ``jacfwd(M)`` —
+        exact, and ~3x fewer traced ops than separate jvp/grad towers
+        (trace time matters: this graph is replicated through the
+        constraint linearization's forward tangents).
         """
         q = jnp.asarray(q)
         v = jnp.asarray(v)
         Mfun = lambda qq: self.mass_matrix(qq, params)
-        _, Mdot = jax.jvp(Mfun, (q,), (v,))
-        quad = jax.grad(lambda qq: 0.5 * v @ Mfun(qq) @ v)(q)
-        return Mdot @ v - quad + self.gravity_term(q, params)
+        M = Mfun(q)
+        dM = jax.jacfwd(Mfun)(q)                     # (nq, nq, nq)
+        Mdot_v = jnp.einsum("ijk,k,j->i", dM, v, v)  # (Mdot v)_i
+        quad = 0.5 * jnp.einsum("j,jki,k->i", v, dM, v)
+        h = Mdot_v - quad + self.gravity_term(q, params)
+        return M, h
+
+    def bias_force(self, q, v, params: InertialParams | None = None):
+        """h(q, v) = C(q, v) v + g(q); equals the reference's
+        ``bias(H_b, q, 0, v)[6:]`` (env_model.py:82)."""
+        return self.dynamics_terms(q, v, params)[1]
 
     def inverse_dynamics(self, q, v, a, params: InertialParams | None = None):
         """tau = M(q) a + h(q, v) (no joint friction, as in the reference)."""
-        return self.mass_matrix(q, params) @ jnp.asarray(a) + self.bias_force(q, v, params)
+        M, h = self.dynamics_terms(q, v, params)
+        return M @ jnp.asarray(a) + h
 
     def forward_dynamics(self, q, v, tau, params: InertialParams | None = None):
         """a = M(q)^{-1} (tau - h(q, v)) (reference env_model.py:202)."""
-        M = self.mass_matrix(q, params)
-        h = self.bias_force(q, v, params)
+        M, h = self.dynamics_terms(q, v, params)
         return jnp.linalg.solve(M, jnp.asarray(tau) - h)
 
 

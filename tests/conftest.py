@@ -19,3 +19,12 @@ import jax
 # overrides JAX_PLATFORMS; force the CPU backend explicitly.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: test-suite wall time is dominated by XLA
+# compiles of the solver graphs; reruns become cache hits (the analogue of
+# the reference's prebuilt generated/ C solvers).
+_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "generated", "xla_cache_tests")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -17,7 +17,7 @@ from safe_mpc_tpu.controllers.registry import (CONTROLLERS, get_controller,
 from safe_mpc_tpu.models.manipulator import ManipulatorModel
 from safe_mpc_tpu.ops.sqp import SolveResult
 
-N = 8
+N = 6
 
 
 @pytest.fixture(scope="module")
@@ -32,6 +32,7 @@ def x0(model):
 
 
 def mk(model, name, **kw):
+    kw.setdefault('qp_iters', 10)
     return get_controller(name, model, N=N, **kw)
 
 
@@ -41,7 +42,7 @@ def mk(model, name, **kw):
 def test_step_smoke(model, x0, name):
     c = mk(model, name)
     st = c.initial_state(x0)
-    res = c.step(st, x0)
+    res = jax.jit(c.step)(st, x0)
     assert res.u.shape == (model.nu,)
     assert np.all(np.isfinite(np.asarray(res.u)))
     assert res.state.xg.shape == (c.N + 1, model.nx)
@@ -75,9 +76,10 @@ def test_stwa_abort_after_n_minus_1_fails(model, x0):
     # seed a recognisable guess so we can track x_viable
     xg = jnp.tile(x0, (N + 1, 1)) + jnp.arange(N + 1)[:, None] * 0.01
     st = c.set_guess(st, xg, st.ug)
+    step = jax.jit(c.step)
     aborts = []
     for k in range(N):
-        res = c.step(st, x0)
+        res = step(st, x0)
         aborts.append(bool(res.abort))
         st = res.state
     # fails counts 1..N-1 then the N-th step aborts (controller.py:384)
@@ -128,9 +130,10 @@ def test_receding_aborts_when_r_hits_zero(model, x0):
 
     c = FailingReceding(model, N=N)
     st = c.initial_state(x0)
+    step = jax.jit(c.step)
     aborts = []
     for k in range(N):
-        res = c.step(st, x0)
+        res = step(st, x0)
         aborts.append(bool(res.abort))
         st = res.state
     # r: N -> N-1 -> ... -> 1; abort fires when the decrement hits 0
@@ -143,11 +146,11 @@ def test_receding_aborts_when_r_hits_zero(model, x0):
 # ---------------------------------------------------------- backup brake ---
 
 def test_backup_brakes_to_zero_velocity(model):
-    c = SafeBackupController(model, N=20, rti_iters=1)
+    c = SafeBackupController(model, N=12, rti_iters=1, qp_iters=12)
     x = jnp.zeros(model.nx)
     x = x.at[1].set(1.5).at[2].set(-0.8)
     x = x.at[model.nq:].set(jnp.asarray([0.5, -0.6, 0.8, -0.3, 0.4]))
-    res = c.solve_backup(x, max_iters=25)
+    res = c.solve_backup(x, max_iters=20)
     assert int(res.status) == 0
     # terminal velocity pinned to zero
     np.testing.assert_allclose(np.asarray(res.xs[-1, model.nq:]),

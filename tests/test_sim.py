@@ -14,13 +14,13 @@ from safe_mpc_tpu.controllers.base import (MPCController, SafeBackupController,
 from safe_mpc_tpu.models.manipulator import ManipulatorModel
 from safe_mpc_tpu.sim.closed_loop import MODE_ABORT, MODE_DONE, ClosedLoopSim
 
-N = 8
+N = 6
 
 
 @pytest.fixture(scope="module")
 def model():
     return ManipulatorModel(load_config().with_(N=N, use_net=False,
-                                                back_hor=12))
+                                                back_hor=8))
 
 
 def x0_batch(model, B=3):
@@ -38,14 +38,14 @@ def test_nominal_sim_classification(model):
     ctrl = MPCController(model, N=N)
     sim = ClosedLoopSim(ctrl, backup=None)
     x0s = x0_batch(model)
-    res = sim.run(x0s, n_steps=40)
+    res = sim.run(x0s, n_steps=25)
     B = x0s.shape[0]
     # partition property: every problem in exactly one outcome set
     all_idx = sorted(res.conv_idx + res.collisions_idx + res.viable_idx
                      + res.unconv_idx)
     assert all_idx == list(range(B))
-    assert res.xs.shape == (B, 41, model.nx)
-    assert res.us.shape == (B, 40, model.nu)
+    assert res.xs.shape == (B, 26, model.nx)
+    assert res.us.shape == (B, 25, model.nu)
     assert np.all(np.isfinite(res.xs[:, 0]))
 
 
@@ -57,7 +57,7 @@ def test_sim_with_noise_ensemble(model):
     keys = jax.random.split(jax.random.PRNGKey(7), 4)
     params = jax.vmap(
         lambda k: model.robot.default_params.perturbed(k, 5.0, 5.0, 5.0))(keys)
-    res = sim.run(x0s, n_steps=25, plant_params=params)
+    res = sim.run(x0s, n_steps=15, plant_params=params)
     # different plants -> different trajectories from identical x0? (x0s
     # differ here, so just check integrity)
     assert np.all(np.isfinite(res.xs[:, 0]))
@@ -67,7 +67,7 @@ def test_sim_with_noise_ensemble(model):
 class AbortAtStep(STWAController):
     """Deterministic abort at a fixed step — drives the sim's abort path."""
 
-    abort_at = 5
+    abort_at = 4
 
     def step(self, state, x):
         res = super().step(state, x)
@@ -80,12 +80,12 @@ class AbortAtStep(STWAController):
 
 def test_abort_backup_and_recovery(model):
     ctrl = AbortAtStep(model, N=N)
-    backup = SafeBackupController(model, N=12)
+    backup = SafeBackupController(model, N=8, qp_iters=10)
     sim = ClosedLoopSim(ctrl, backup=backup)
     mid = (model.x_min + model.x_max) / 2
     x0 = jnp.asarray(mid).at[model.nq:].set(0.0)
     x0s = jnp.stack([x0, x0.at[0].add(0.1)])
-    res = sim.run(x0s, n_steps=50)
+    res = sim.run(x0s, n_steps=35)
     st = res.final_state
     # both problems aborted, backup succeeded -> viable flag set
     assert bool(jnp.all(st.viable))
