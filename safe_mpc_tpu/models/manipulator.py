@@ -30,15 +30,26 @@ from .urdf import asset_path
 class CollisionRow:
     """One scalar collision constraint: lo <= value(q) <= hi.
 
+    Structured as a pure geometric function over world points plus the
+    per-point supporting-joint indices, so the constraint Jacobian is the
+    chain rule `dval/dpts @ point_jacobians` with closed-form point
+    Jacobians — no autodiff through the kinematic chain (the 'analytic
+    sensitivities' hot path).
+
     ``check_lo/check_hi`` are the looser numeric-check bounds used by
     feasibility checks (reference ``collisions_constr_fun``,
     env_model.py:267-268 — tol_obs applied, collision margin not)."""
     name: str
-    fn: Callable          # x -> scalar (traceable)
+    points_fn: Callable   # (x, poses) -> tuple of world points
+    ancs: tuple           # supporting joint index per point (-1 = fixed)
+    val_fn: Callable      # (*points) -> scalar (small geometric expr)
     lo: float
     hi: float
     check_lo: float
     check_hi: float
+
+    def fn(self, x, poses):
+        return self.val_fn(*self.points_fn(x, poses))
 
 
 class ManipulatorModel:
@@ -225,14 +236,15 @@ class ManipulatorModel:
                                     radius=s.radius - margin,
                                     offset=np.asarray(s.spatial_offset))
 
-        def capsule_endpoints(entry):
-            # row fns take (x, poses): the chain FK is computed once per
-            # state by `collision_values` and shared by every row
+        def capsule_points(entry):
+            """((x, poses) -> (p0, p1), (anc0, anc1)) for a capsule."""
             if entry["kind"] == "fixed_capsule":
                 a, b = entry["a"], entry["b"]
-                return lambda x, poses: (jnp.asarray(a, dtype=x.dtype),
-                                         jnp.asarray(b, dtype=x.dtype))
+                return (lambda x, poses: (jnp.asarray(a, dtype=x.dtype),
+                                          jnp.asarray(b, dtype=x.dtype)),
+                        (-1, -1))
             link, T, e0, e1 = entry["link"], entry["T"], entry["e0"], entry["e1"]
+            anc = self.robot.frame_support(link)[0]
 
             def fn(x, poses):
                 R, p = self.robot.frame_pose_from(poses, link, dtype=x.dtype)
@@ -242,63 +254,59 @@ class ManipulatorModel:
                 ) @ jnp.asarray(T, dtype=x.dtype)
                 return (Tw @ jnp.asarray(e0, dtype=x.dtype))[:3], \
                        (Tw @ jnp.asarray(e1, dtype=x.dtype))[:3]
-            return fn
+            return fn, (anc, anc)
 
         rows: list[CollisionRow] = []
         if cfg.obs_flag:
             for name_a, name_b in scene.collision_pairs:
                 rows.extend(self._make_pair_rows(
                     name_a, name_b, caps, planes, spheres, rspheres,
-                    capsule_endpoints, margin, tol))
+                    capsule_points, margin, tol))
         self.collision_rows = rows
         self.n_collision = len(rows)
 
     def _make_pair_rows(self, name_a, name_b, caps, planes, spheres, rspheres,
-                        capsule_endpoints, margin, tol):
+                        capsule_points, margin, tol):
         # normalise order: capsule/robot-sphere first (parser.py:262-267)
         if name_a in planes or name_a in spheres:
             name_a, name_b = name_b, name_a
         rows = []
         pair_name = f"{name_a}_{name_b}"
         if name_a in caps and name_b in caps:
-            ea, eb = capsule_endpoints(caps[name_a]), capsule_endpoints(caps[name_b])
+            (ea, anc_a) = capsule_points(caps[name_a])
+            (eb, anc_b) = capsule_points(caps[name_b])
             ra, rb = caps[name_a]["radius"], caps[name_b]["radius"]
-
-            def fn(x, poses, ea=ea, eb=eb):
-                a0, a1 = ea(x, poses)
-                b0, b1 = eb(x, poses)
-                return geom.segment_segment_sqdist(a0, a1, b0, b1)
-
-            rows.append(CollisionRow(pair_name, fn,
-                                     lo=(ra + rb + 2 * margin) ** 2, hi=1e6,
-                                     check_lo=(ra + rb) ** 2 - tol, check_hi=1e6 + tol))
+            rows.append(CollisionRow(
+                pair_name,
+                points_fn=lambda x, poses, ea=ea, eb=eb: ea(x, poses) + eb(x, poses),
+                ancs=anc_a + anc_b,
+                val_fn=geom.segment_segment_sqdist,
+                lo=(ra + rb + 2 * margin) ** 2, hi=1e6,
+                check_lo=(ra + rb) ** 2 - tol, check_hi=1e6 + tol))
         elif name_a in caps and name_b in spheres:
-            ea = capsule_endpoints(caps[name_a])
+            (ea, anc_a) = capsule_points(caps[name_a])
             ra = caps[name_a]["radius"]
-            length = caps[name_a].get("length",
-                                      float(np.linalg.norm(caps[name_a].get("a", 0)
-                                                           - caps[name_a].get("b", 1))))
+            length = caps[name_a]["length"]
             obs = spheres[name_b]
-
-            def fn(x, poses, ea=ea, obs=obs, length=length):
-                a0, a1 = ea(x, poses)
-                return geom.point_segment_sqdist(
-                    a0, a1, length, jnp.asarray(obs["position"], dtype=x.dtype))
-
-            rb = obs["radius"]
-            rows.append(CollisionRow(pair_name, fn,
-                                     lo=(rb + ra + 2 * margin) ** 2, hi=1e6,
-                                     check_lo=(rb + ra) ** 2 - tol, check_hi=1e6 + tol))
+            center = np.asarray(obs["position"])
+            rows.append(CollisionRow(
+                pair_name,
+                points_fn=lambda x, poses, ea=ea: ea(x, poses),
+                ancs=anc_a,
+                val_fn=lambda a0, a1, L=length, c=center: geom.point_segment_sqdist(
+                    a0, a1, L, jnp.asarray(c, dtype=a0.dtype)),
+                lo=(obs["radius"] + ra + 2 * margin) ** 2, hi=1e6,
+                check_lo=(obs["radius"] + ra) ** 2 - tol, check_hi=1e6 + tol))
         elif name_a in caps and name_b in planes:
-            ea = capsule_endpoints(caps[name_a])
+            (ea, anc_a) = capsule_points(caps[name_a])
             ra = caps[name_a]["radius"]
             pl = planes[name_b]
             for pt_idx in range(2):  # one row per capsule endpoint
-                def fn(x, poses, ea=ea, pl=pl, pt_idx=pt_idx):
-                    pts = ea(x, poses)
-                    return pts[pt_idx][pl["axis"]]
                 rows.append(CollisionRow(
-                    f"{pair_name}_{pt_idx}", fn,
+                    f"{pair_name}_{pt_idx}",
+                    points_fn=lambda x, poses, ea=ea, k=pt_idx: (ea(x, poses)[k],),
+                    ancs=(anc_a[pt_idx],),
+                    val_fn=lambda p, ax=pl["axis"]: p[ax],
                     lo=pl["lo"] + ra + 2 * margin, hi=pl["hi"] - ra - 2 * margin,
                     check_lo=pl["lo"] + ra - tol, check_hi=pl["hi"] - ra + tol))
         elif name_a in rspheres and name_b in spheres:
@@ -306,34 +314,37 @@ class ManipulatorModel:
             # (env_model.py:300), not the sphere's own FK
             obs = spheres[name_b]
             ra = rspheres[name_a]["radius"]
+            center = np.asarray(obs["position"])
+            ee_anc = self.robot.frame_support(self.ee_frame)[0]
 
-            def fn(x, poses, obs=obs):
+            def ee_point(x, poses):
                 R, p = self.robot.frame_pose_from(poses, self.ee_frame,
                                                   dtype=x.dtype)
-                ee = p + R @ jnp.asarray(self.ee_offset, dtype=x.dtype)
-                return geom.sphere_sphere_sqdist(
-                    ee, jnp.asarray(obs["position"], dtype=x.dtype))
+                return (p + R @ jnp.asarray(self.ee_offset, dtype=x.dtype),)
 
-            rb = obs["radius"]
-            rows.append(CollisionRow(pair_name, fn,
-                                     lo=(ra + rb + 2 * margin) ** 2, hi=1e6,
-                                     check_lo=(ra + rb) ** 2 - tol, check_hi=1e6 + tol))
+            rows.append(CollisionRow(
+                pair_name, points_fn=ee_point, ancs=(ee_anc,),
+                val_fn=lambda ee, c=center: geom.sphere_sphere_sqdist(
+                    ee, jnp.asarray(c, dtype=ee.dtype)),
+                lo=(ra + obs["radius"] + 2 * margin) ** 2, hi=1e6,
+                check_lo=(ra + obs["radius"]) ** 2 - tol, check_hi=1e6 + tol))
         elif name_a in rspheres and name_b in planes:
             sp = rspheres[name_a]
             pl = planes[name_b]
+            anc = self.robot.frame_support(sp["link"])[0]
 
-            def fn(x, poses, sp=sp, pl=pl):
+            def sp_point(x, poses, sp=sp):
                 R, p0 = self.robot.frame_pose_from(poses, sp["link"],
                                                    dtype=x.dtype)
-                p = p0 + R @ jnp.asarray(sp["offset"], dtype=x.dtype)
-                return p[pl["axis"]] - pl[("lo", "hi")[pl["real_bound"]]]
+                return (p0 + R @ jnp.asarray(sp["offset"], dtype=x.dtype),)
 
             ra = sp["radius"]
-            rows.append(CollisionRow(pair_name, fn,
-                                     lo=pl["lo"] + ra + 2 * margin,
-                                     hi=pl["hi"] - ra - 2 * margin,
-                                     check_lo=pl["lo"] + ra - tol,
-                                     check_hi=pl["hi"] - ra + tol))
+            b0 = pl[("lo", "hi")[pl["real_bound"]]]
+            rows.append(CollisionRow(
+                pair_name, points_fn=sp_point, ancs=(anc,),
+                val_fn=lambda p, ax=pl["axis"], b=b0: p[ax] - b,
+                lo=pl["lo"] + ra + 2 * margin, hi=pl["hi"] - ra - 2 * margin,
+                check_lo=pl["lo"] + ra - tol, check_hi=pl["hi"] - ra + tol))
         else:
             raise ValueError(f"unsupported collision pair ({name_a}, {name_b})")
         return rows
@@ -346,6 +357,30 @@ class ManipulatorModel:
         if poses is None:
             poses = self.robot.joint_poses(jnp.asarray(x)[: self.nq])
         return jnp.stack([r.fn(x, poses) for r in self.collision_rows])
+
+    def collision_linearize(self, x, poses=None):
+        """(values (nc,), Jq (nc, nq)) — row Jacobians via the chain rule
+        with closed-form point Jacobians; autodiff only touches the tiny
+        geometric expressions, never the kinematic chain."""
+        nq = self.nq
+        x = jnp.asarray(x)
+        if not self.collision_rows:
+            return (jnp.zeros((0,), x.dtype), jnp.zeros((0, nq), x.dtype))
+        if poses is None:
+            poses = self.robot.joint_poses(x[:nq])
+        vals, Jrows = [], []
+        for row in self.collision_rows:
+            pts = row.points_fn(x, poses)
+            val = row.val_fn(*pts)
+            grads = jax.grad(row.val_fn,
+                             argnums=tuple(range(len(pts))))(*pts)
+            J = jnp.zeros(nq, x.dtype)
+            for g, anc, pt in zip(grads, row.ancs, pts):
+                if anc >= 0:
+                    J = J + g @ self.robot.point_jacobian_from(poses, anc, pt)
+            vals.append(val)
+            Jrows.append(J)
+        return jnp.stack(vals), jnp.stack(Jrows)
 
     @property
     def collision_bounds(self):

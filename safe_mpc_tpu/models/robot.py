@@ -287,6 +287,35 @@ class RobotModel:
         Jw = (chain * rev)[:, None] * axes_w
         return Jv.T, Jw.T
 
+    def point_jacobian_from(self, poses, anc: int, point_w):
+        """(3, nq) linear Jacobian of a world point rigidly attached to the
+        body supported by joint `anc`, from precomputed `joint_poses` —
+        closed form (masked cross products), no autodiff."""
+        R, p, axes_w = poses
+        if anc < 0:
+            return jnp.zeros((3, self.nq), dtype=point_w.dtype)
+        Jv, _ = self._point_jacobian(None, anc, point_w, R, p, axes_w)
+        return Jv
+
+    def dynamics_derivative_stack(self, q, params: InertialParams | None = None):
+        """(M, dM, ddM, gU, HU): the mass matrix, its first and second
+        configuration derivatives, and the gravity gradient/Hessian.
+
+        Everything the RTI linearization needs from the dynamics reduces to
+        contractions of these small tensors (nq<=7: ddM is nq^4 <= 2401
+        floats) — the 'analytic sensitivities' path that keeps heavy
+        autodiff towers out of the per-node hot loop.
+        """
+        q = jnp.asarray(q)
+        Mfun = lambda qq: self.mass_matrix(qq, params)
+        M = Mfun(q)
+        dM = jax.jacfwd(Mfun)(q)                 # (nq,nq,nq): dM_ij/dq_k
+        ddM = jax.jacfwd(jax.jacfwd(Mfun))(q)    # (nq,nq,nq,nq)
+        Ufun = lambda qq: self.potential_energy(qq, params)
+        gU = jax.grad(Ufun)(q)
+        HU = jax.jacfwd(jax.grad(Ufun))(q)
+        return M, dM, ddM, gU, HU
+
     def frame_jacobian(self, q, frame: str, local_offset=None):
         """(6, nq) world-frame Jacobian [linear; angular] of a link frame.
 

@@ -57,7 +57,7 @@ class OcpSpec:
                  N: int | None = None, Q: float | None = None,
                  R: float | None = None, lm: float | None = None,
                  zero_cost: bool = False, vel_penalty: float = 0.0,
-                 cost_scaling: str = "dt"):
+                 cost_scaling: str = "dt", fast: bool = True):
         cfg = model.cfg
         self.model = model
         self.safe_set = safe_set
@@ -70,6 +70,10 @@ class OcpSpec:
         # — terminal-dominant, stabilizing. 'none': the reference's explicit
         # IPOPT convention (plain sums, ocp.py:35-46).
         self.cost_scaling = cost_scaling
+        # fast=True uses the structured analytic-sensitivity linearization
+        # (closed-form point Jacobians + (M, dM, ddM) contractions);
+        # fast=False keeps the generic jax.linearize path (test oracle).
+        self.fast = fast
         # SafeBackup objective: velocity penalty (the reference's SafeAbortOCP
         # cost, ocp.py:291-303; mpc.py uses ZeroCost whose zero Hessian is
         # singular — the velocity penalty selects the same braking solutions
@@ -171,6 +175,87 @@ class OcpSpec:
         ru = 2.0 * scale * self.R_w * u
         return Qx, qx, Ru, ru
 
+    # ------------------------------------------------ structured hot path
+
+    def _node_structured(self, x, u, p_ee, scale, alpha):
+        """Analytic-sensitivity node linearization.
+
+        Replaces autodiff towers with small-tensor contractions:
+        * torque row: tau = M u + h with h from the Lagrangian identity;
+          its full Jacobian comes from (M, dM, ddM, gU, HU) —
+            d tau/du = M
+            d tau/dv = dM[i,j,l] v_j + (dM v)[i,l] - dM[l,k,i] v_k
+            d tau/dq = dM[i,j,l] u_j + ddM[i,j,k,l] v_k v_j
+                       - 1/2 v_j ddM[j,k,i,l] v_k + HU
+        * collision rows: closed-form point Jacobians (chain rule)
+        * EE cost: closed-form frame Jacobian
+        * box rows: identity, no computation
+        Exactness is pinned against the generic `jax.linearize` path by
+        tests (same QPData to ~1e-10 in f64).
+        """
+        model = self.model
+        nq, nx, nu, m = model.nq, self.nx, self.nu, self.m
+        dtype = x.dtype
+        q, v = x[:nq], x[nq:]
+        poses = model.robot.joint_poses(q)
+
+        # ---- torque rows
+        M, dM, ddM, gU, HU = model.robot.dynamics_derivative_stack(q)
+        Mdot = jnp.einsum("ijk,k->ij", dM, v)
+        tau = M @ u + Mdot @ v - 0.5 * jnp.einsum("j,jki,k->i", v, dM, v) + gU
+        dtau_dq = (jnp.einsum("ijl,j->il", dM, u)
+                   + jnp.einsum("ijkl,k,j->il", ddM, v, v)
+                   - 0.5 * jnp.einsum("j,jkil,k->il", v, ddM, v) + HU)
+        dtau_dv = (jnp.einsum("ijl,j->il", dM, v) + Mdot
+                   - jnp.einsum("lki,k->il", dM, v))
+        Cx_tau = jnp.concatenate([dtau_dq, dtau_dv], axis=1)
+        Cu_tau = M
+
+        # ---- collision rows (closed-form point Jacobians)
+        if self.nc:
+            col_vals, col_Jq = model.collision_linearize(x, poses)
+            Cx_col = jnp.concatenate(
+                [col_Jq, jnp.zeros((self.nc, nq), dtype)], axis=1)
+        else:
+            col_vals = jnp.zeros((0,), dtype)
+            Cx_col = jnp.zeros((0, nx), dtype)
+
+        # ---- safe rows (generic linearize over x; MLP Jacobians are
+        # matmul-shaped and MXU-friendly)
+        if self.ns:
+            sval, slin = jax.linearize(
+                lambda xx: self.safe_set.value(xx, alpha), x)
+            Cx_safe = jax.vmap(slin)(jnp.eye(nx, dtype=dtype)).T
+        else:
+            sval = jnp.zeros((0,), dtype)
+            Cx_safe = jnp.zeros((0, nx), dtype)
+
+        # ---- assemble rows [box | tau | col | safe]
+        val = jnp.concatenate([x, tau, col_vals, sval])
+        Cx = jnp.concatenate([
+            jnp.eye(nx, dtype=dtype), Cx_tau, Cx_col, Cx_safe], axis=0)
+        Cu = jnp.concatenate([
+            jnp.zeros((nx, nu), dtype), Cu_tau,
+            jnp.zeros((self.nc + self.ns, nu), dtype)], axis=0)
+
+        # ---- cost (closed-form EE Jacobian)
+        if self.zero_cost or self.vel_penalty > 0:
+            Qx, qx, Ru, ru = self._cost_terms(x, u, p_ee, scale)
+        else:
+            ee_anc = model.robot.frame_support(model.ee_frame)[0]
+            R_f, p_f = model.robot.frame_pose_from(poses, model.ee_frame,
+                                                   dtype=dtype)
+            ee = p_f + R_f @ jnp.asarray(model.ee_offset, dtype=dtype)
+            Jee_q = model.robot.point_jacobian_from(poses, ee_anc, ee)
+            Jee = jnp.concatenate(
+                [Jee_q, jnp.zeros((3, nq), dtype)], axis=1)
+            err = ee - p_ee
+            Qx = 2.0 * scale * self.Q_w * (Jee.T @ Jee)
+            qx = 2.0 * scale * self.Q_w * (Jee.T @ err)
+            Ru = 2.0 * scale * self.R_w * jnp.eye(nu, dtype=dtype)
+            ru = 2.0 * scale * self.R_w * u
+        return val, Cx, Cu, Qx, qx, Ru, ru
+
     # ------------------------------------------------------------ transcribe
 
     def transcribe(self, xg, ug, x0, schedule: NodeSchedule) -> QPData:
@@ -186,7 +271,7 @@ class OcpSpec:
         nxu = nx + nu
         eye_xu = jnp.eye(nxu, dtype=dtype)
 
-        def node(x, u, p_ee, scale):
+        def node_generic(x, u, p_ee, scale):
             # one trace of the constraint graph (jax.linearize), then cheap
             # linear replays for the Jacobian — keeps the traced program
             # ~3x smaller than separate value + jacfwd(x) + jacfwd(u)
@@ -200,6 +285,12 @@ class OcpSpec:
             Cx, Cu = J[:nx].T, J[nx:].T
             Qx, qx, Ru, ru = self._cost_terms(x, u, p_ee, scale)
             return val, Cx, Cu, Qx, qx, Ru, ru
+
+        if self.fast:
+            node = lambda x, u, p, s: self._node_structured(
+                x, u, p, s, schedule.alpha)
+        else:
+            node = node_generic
 
         if self.cost_scaling == "dt":
             scales = jnp.concatenate([
