@@ -49,23 +49,39 @@ def main():
 
     dtype = jnp.float32
     mid = jnp.asarray((model.x_min + model.x_max) / 2, dtype)
-    key = jax.random.PRNGKey(0)
-    dq = 0.2 * jax.random.normal(key, (batch, model.nq), dtype)
-    x0s = jnp.concatenate([mid[None, : model.nq] + dq,
-                           jnp.zeros((batch, model.nq), dtype)], axis=1)
+    # collision-free Halton-sampled rest states (same protocol as the
+    # guess stage) so solver failures reflect the solver, not the sampling
+    from safe_mpc_tpu.tasks.sampling import sample_initial_states
+    x0s = sample_initial_states(model, batch, margin=0.05).astype(dtype)
     states = jax.vmap(lambda x: ctrl.initial_state(x))(x0s)
 
     chunk = int(os.environ.get("BENCH_CHUNK", "0"))
+    mode = os.environ.get("BENCH_MODE", "batched")  # 'batched' | 'vmapped'
 
-    def one(state, x):
-        res = ctrl.step(state, x)
-        return res.state, res.u, res.status
+    if mode == "batched":
+        # batch-major hot path: vmapped linearization + lane-major QP
+        from safe_mpc_tpu.ops.sqp import rti_step_batched
 
-    if chunk and chunk < batch:
-        from safe_mpc_tpu.utils.batching import chunked_vmap
-        step = jax.jit(chunked_vmap(one, chunk))
+        sched = ctrl.schedule(ctrl.initial_state(mid))
+
+        def step_fn(states, xs):
+            res = rti_step_batched(ctrl.spec, states.xg, states.ug, xs,
+                                   sched, qp_iters=15)
+            import dataclasses
+            new_states = dataclasses.replace(states, xg=res.xs, ug=res.us)
+            return new_states, res.us[:, 0], res.status
+
+        step = jax.jit(step_fn)
     else:
-        step = jax.jit(jax.vmap(one))
+        def one(state, x):
+            res = ctrl.step(state, x)
+            return res.state, res.u, res.status
+
+        if chunk and chunk < batch:
+            from safe_mpc_tpu.utils.batching import chunked_vmap
+            step = jax.jit(chunked_vmap(one, chunk))
+        else:
+            step = jax.jit(jax.vmap(one))
 
     t0 = time.time()
     states2, u, status = step(states, x0s)

@@ -48,6 +48,25 @@ def rti_step(spec: OcpSpec, xg, ug, x0, schedule: NodeSchedule,
                        iters=jnp.ones((), jnp.int32))
 
 
+def rti_step_batched(spec: OcpSpec, xgs, ugs, x0s, schedule: NodeSchedule,
+                     qp_iters: int = 20) -> SolveResult:
+    """Whole-batch RTI step using the batch-major QP solver
+    (`ops.qp_batched`): linearization vmapped, the QP solved with the
+    problem batch in the lane dimension — the TPU-throughput entry point.
+    `schedule` is shared across the batch (vmap controller.step instead
+    when schedules diverge per problem)."""
+    from .qp_batched import solve_qp_batched
+
+    data = jax.vmap(
+        lambda xg, ug, x0: spec.transcribe(xg, ug, x0, schedule))(
+        xgs, ugs, x0s)
+    sol = solve_qp_batched(data, iters=qp_iters)
+    B = xgs.shape[0]
+    return SolveResult(xs=xgs + sol.dx, us=ugs + sol.du, status=sol.status,
+                       qp_viol=sol.hard_violation,
+                       iters=jnp.ones((B,), jnp.int32))
+
+
 def sqp_solve(spec: OcpSpec, xg, ug, x0, schedule: NodeSchedule,
               max_iters: int = 50, qp_iters: int = 25,
               tol: float = 1e-6, merit_rho: float = 1e4,
