@@ -31,7 +31,6 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from safe_mpc_tpu.controllers.registry import get_ocp
     from safe_mpc_tpu.models.manipulator import ManipulatorModel
     from safe_mpc_tpu.sim.artifacts import mpc_path, scores_path
     from safe_mpc_tpu.ops.transcribe import OcpSpec

@@ -39,26 +39,67 @@ def main(argv=None):
     cont_name = args["controller"]
     horizon = args["horizon"]
 
+    track = args.get("track", "none")
+    traj = None
+    if track != "none":
+        # tracking task: EE reference trajectory + IK-seeded start
+        # (reference guess_acados.py:167-227 tracking branch)
+        from safe_mpc_tpu.tasks.ik import solve_ik_multistart
+        from safe_mpc_tpu.tasks.trajectories import get_trajectory
+
+        cfg = cfg.with_(track_traj=True,
+                        n_steps=args.get("n_steps") or min(
+                            cfg.n_steps_tracking, 2000))
+        model = ManipulatorModel(cfg)
+        traj = get_trajectory(cfg, track, N=horizon)
+        # trajectory array must span n_steps + 1 + N columns
+        traj = traj[:, : cfg.n_steps + 1 + horizon]
+
     # --rti_iters > 1 runs multiple SQP iterations per control step — the
     # role of the reference's IPOPT controller family (mpc_ipopt.py)
     controller = get_controller(cont_name, model, N=horizon,
-                                rti_iters=args.get("rti_iters"))
+                                rti_iters=args.get("rti_iters"), traj=traj)
     backup = SafeBackupController(model, N=cfg.back_hor)
 
-    gpath = guess_path(cfg, cont_name, horizon)
-    print(f"loading guess {gpath}")
-    xg, ug = load_guess(gpath)
-    test_num = args.get("batch") or min(cfg.test_num, xg.shape[0])
-    xg, ug = xg[:test_num], ug[:test_num]
-    x0s = jnp.asarray(xg[:, 0, :])
+    if track != "none":
+        jdt = jnp.float64 if dtype == "float64" else jnp.float32
+        x0, ok = solve_ik_multistart(model, jnp.asarray(traj[:, 0], jdt))
+        if not bool(ok):
+            print("WARNING: IK did not converge on the trajectory start")
+        test_num = args.get("batch") or cfg.test_num
+        x0s = jnp.tile(x0.astype(jdt), (test_num, 1))
+        init = controller.solve(
+            controller.initial_state(x0s[0]), x0s[0],
+            controller.schedule(controller.initial_state(x0s[0])))
+        xg = np.tile(np.asarray(init.xs)[None], (test_num, 1, 1))
+        ug = np.tile(np.asarray(init.us)[None], (test_num, 1, 1))
+    else:
+        gpath = guess_path(cfg, cont_name, horizon)
+        print(f"loading guess {gpath}")
+        xg, ug = load_guess(gpath)
+        test_num = args.get("batch") or min(cfg.test_num, xg.shape[0])
+        xg, ug = xg[:test_num], ug[:test_num]
+        x0s = jnp.asarray(xg[:, 0, :])
+    n_steps = args.get("n_steps") or cfg.n_steps
 
     # model-noise ensemble: batched perturbed inertial parameters
-    # (replaces the *_randomized*.urdf files, utils.py:126-171)
+    # (replaces the *_randomized*.urdf files, utils.py:126-171). Uses the
+    # pre-generated npz from apps/generate_noise.py when present.
     if cfg.noise > 0:
-        keys = jax.random.split(jax.random.PRNGKey(1234), test_num)
-        plant_params = jax.vmap(
-            lambda k: model.robot.default_params.perturbed(
-                k, cfg.noise, cfg.noise, cfg.noise))(keys)
+        import os
+
+        from safe_mpc_tpu.sim.artifacts import load_noise_params
+        npz = os.path.join(cfg.data_dir,
+                           f"{cfg.urdf_name}_noise{cfg.noise}_params.npz")
+        if os.path.isfile(npz):
+            print(f"loading noise ensemble {npz}")
+            plant_params = load_noise_params(npz)
+            plant_params = jax.tree.map(lambda a: a[:test_num], plant_params)
+        else:
+            keys = jax.random.split(jax.random.PRNGKey(1234), test_num)
+            plant_params = jax.vmap(
+                lambda k: model.robot.default_params.perturbed(
+                    k, cfg.noise, cfg.noise, cfg.noise))(keys)
     else:
         plant_params = jax.tree.map(
             lambda a: jnp.tile(a[None], (test_num,) + (1,) * a.ndim),
@@ -67,10 +108,10 @@ def main(argv=None):
     sim = ClosedLoopSim(controller, backup=backup)
     t0 = time.time()
     res = sim.run(x0s, xg=jnp.asarray(xg), ug=jnp.asarray(ug),
-                  plant_params=plant_params)
+                  n_steps=n_steps, plant_params=plant_params)
     wall = time.time() - t0
-    n_solves = test_num * cfg.n_steps
-    print(f"\nSimulated {test_num} tests x {cfg.n_steps} steps in {wall:.1f}s "
+    n_solves = test_num * n_steps
+    print(f"\nSimulated {test_num} tests x {n_steps} steps in {wall:.1f}s "
           f"({n_solves / wall:.0f} RTI solves/s incl. compile)")
 
     print(f"Completed task: {len(res.conv_idx)}"

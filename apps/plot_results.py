@@ -10,8 +10,6 @@ import argparse
 import os
 import pickle
 
-import numpy as np
-
 from _common import setup_runtime
 
 CONTROLLER_STYLES = {

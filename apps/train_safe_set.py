@@ -23,6 +23,9 @@ def main(argv=None):
     parser.add_argument("--bisection", type=int, default=7)
     parser.add_argument("--back_hor", type=int, default=45)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--chunk", type=int, default=64,
+                        help="braking-solve chunk size (HBM cap; each "
+                             "problem holds ~100 MB live during the SQP)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
     backend, dtype = setup_runtime(force_cpu=args.cpu)
@@ -43,7 +46,7 @@ def main(argv=None):
     t0 = time.time()
     qs, dirs, labels = ts.generate_labels(
         model, args.samples, backup_N=args.back_hor,
-        bisection_iters=args.bisection, seed=args.seed)
+        bisection_iters=args.bisection, seed=args.seed, chunk=args.chunk)
     n_solves = args.samples * (args.bisection + 1)
     dt_label = time.time() - t0
     print(f"labels: {args.samples} samples, s* in "

@@ -348,6 +348,12 @@ def parse_args(argv: list[str] | None = None) -> dict[str, Any]:
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (f64 numerics)")
+    parser.add_argument("--track", type=str, default="none",
+                        choices=["none", "shape8", "circle"],
+                        help="tracking task: figure-8 lemniscate or moving "
+                             "circle (reference cost_definition.py:102-288)")
+    parser.add_argument("--n_steps", type=int, default=None,
+                        help="override episode length")
     parser.add_argument("--rti_iters", type=int, default=None,
                         help="SQP iterations per control step (default: "
                              "config rti_iter; >1 is the analogue of the "

@@ -50,11 +50,13 @@ def _braking_feasible(backup: SafeBackupController, x, max_iters: int = 25):
 def generate_labels(model: ManipulatorModel, n_samples: int,
                     backup_N: int | None = None, bisection_iters: int = 7,
                     seed: int = 0, qp_iters: int = 15, sqp_iters: int = 20,
-                    v_cap: float | None = None):
+                    v_cap: float | None = None, chunk: int = 256):
     """(states (n, nx_dirs...), labels s* (n,)).
 
     Returns (q (n, nq), v_dir (n, nq), s_star (n,)). Each bisection
-    iteration solves `n_samples` braking OCPs as one batched program.
+    iteration solves `n_samples` braking OCPs batched; samples are
+    processed in host-level chunks of `chunk` to cap live HBM (the
+    braking SQP holds ~20 MB of intermediates per problem).
     """
     nq = model.nq
     backup = SafeBackupController(model, N=backup_N or model.cfg.back_hor,
@@ -70,9 +72,16 @@ def generate_labels(model: ManipulatorModel, n_samples: int,
     if v_cap is not None:
         cap = jnp.minimum(cap, v_cap)
 
-    feas = jax.jit(jax.vmap(
+    feas_chunk = jax.jit(jax.vmap(
         lambda q, d, s: _braking_feasible(
             backup, jnp.concatenate([q, s * d]), max_iters=sqp_iters)))
+
+    def feas(qs_, dirs_, ss_):
+        outs = []
+        for a in range(0, qs_.shape[0], chunk):
+            b = min(a + chunk, qs_.shape[0])
+            outs.append(feas_chunk(qs_[a:b], dirs_[a:b], ss_[a:b]))
+        return jnp.concatenate(outs)
 
     lo = jnp.zeros(n_samples, x0s.dtype)
     hi = cap

@@ -95,5 +95,6 @@ def get_trajectory(cfg: SafeMpcConfig, kind: str = "regulation",
         "regulation": regulation_trajectory,
         "shape8": generate_8shape_trajectory,
         "moving_circle": generate_moving_circle_trajectory,
+        "circle": generate_moving_circle_trajectory,
     }
     return kinds[kind](cfg, N)

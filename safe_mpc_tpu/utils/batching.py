@@ -11,7 +11,6 @@ thing remains one jittable program.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def chunked_vmap(fn, chunk: int):

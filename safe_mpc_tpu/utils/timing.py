@@ -18,7 +18,6 @@ from __future__ import annotations
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 TIME_FIELDS = ["time_lin", "time_sim", "time_qp", "time_qp_solver_call",

@@ -2,16 +2,13 @@
 backup braking — the reference's failure semantics (controller.py §3.3).
 """
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from safe_mpc_tpu.config import load_config
-from safe_mpc_tpu.controllers.base import (ControllerState, SafeBackupController,
-                                           STWAController)
+from safe_mpc_tpu.controllers.base import SafeBackupController, STWAController
 from safe_mpc_tpu.controllers.registry import (CONTROLLERS, get_controller,
                                                get_guess_controller)
 from safe_mpc_tpu.models.manipulator import ManipulatorModel

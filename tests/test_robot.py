@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 from safe_mpc_tpu.models.robot import RobotModel, InertialParams
-from safe_mpc_tpu.models.urdf import asset_path, parse_urdf
+from safe_mpc_tpu.models.urdf import asset_path
 
 
 @pytest.fixture(scope="module")

@@ -1,8 +1,6 @@
 """Closed-loop simulator tests: outcome classification, abort machinery,
 noise ensembles (reference mpc.py behavior)."""
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,7 +10,7 @@ from safe_mpc_tpu.config import load_config
 from safe_mpc_tpu.controllers.base import (MPCController, SafeBackupController,
                                            STWAController, StepResult)
 from safe_mpc_tpu.models.manipulator import ManipulatorModel
-from safe_mpc_tpu.sim.closed_loop import MODE_ABORT, MODE_DONE, ClosedLoopSim
+from safe_mpc_tpu.sim.closed_loop import MODE_DONE, ClosedLoopSim
 
 N = 6
 
