@@ -139,12 +139,19 @@ def _riccati_solve(A, B, c, dx0, Qb, qb, Rb, rb, Sb):
     N = Rb.shape[0]
     P_T, p_T = Qb[N], qb[N]
 
+    # f32 safeguard: keep Huu comfortably SPD under single-precision
+    # round-off (the backup problem runs lm=0); relative jitter only.
+    eps = 1e-5 if A.dtype == jnp.float32 else 0.0
+
     def backward(carry, inp):
         P, p = carry
         Qk, qk, Rk, rk, Sk, ck = inp
         PA = P @ A
         PB = P @ B
         Huu = Rk + B.T @ PB
+        if eps:
+            Huu = Huu + (eps * jnp.max(jnp.diagonal(Huu))) \
+                * jnp.eye(Huu.shape[0], dtype=Huu.dtype)
         Hux = Sk.T + B.T @ PA
         hu = rk + B.T @ (P @ ck + p)
         L = jnp.linalg.cholesky(Huu)

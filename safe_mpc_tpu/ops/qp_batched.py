@@ -67,12 +67,20 @@ def _riccati_last(A, B, c, dx0, Qb, qb, Rb, rb, Sb):
     """
     N = Rb.shape[0]
 
+    eps = 1e-5 if A.dtype == jnp.float32 else 0.0
+
     def backward(carry, inp):
         P, p = carry                      # (nx,nx,Bt), (nx,Bt)
         Qk, qk, Rk, rk, Sk, ck = inp
         PA = jnp.einsum("ijb,jk->ikb", P, A)
         PB = jnp.einsum("ijb,jk->ikb", P, B)
         Huu = Rk + jnp.einsum("ji,jkb->ikb", B, PB)
+        if eps:
+            nu_ = Huu.shape[0]
+            diag_max = jnp.max(
+                Huu[jnp.arange(nu_), jnp.arange(nu_)], axis=0)
+            Huu = Huu + (eps * diag_max)[None, None] \
+                * jnp.eye(nu_, dtype=Huu.dtype)[:, :, None]
         Hux = jnp.einsum("jib->ijb", Sk) + jnp.einsum("ji,jkb->ikb", B, PA)
         Pc_p = jnp.einsum("ijb,jb->ib", P, ck) + p
         hu = rk + jnp.einsum("ji,jb->ib", B, Pc_p)

