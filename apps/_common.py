@@ -24,6 +24,10 @@ def setup_runtime(force_cpu: bool = False, cache_dir: str | None = None):
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # TPU matmuls default to bf16 multiplication — fatal for the IP/
+    # Riccati numerics (1e4-scale penalties, 1e6 bound sentinels). Force
+    # true f32 multiplication everywhere.
+    jax.config.update("jax_default_matmul_precision", "highest")
     backend = jax.default_backend()
     if backend == "cpu":
         jax.config.update("jax_enable_x64", True)

@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     import jax
 
+    jax.config.update("jax_default_matmul_precision", "highest")
     backend = jax.default_backend()
     if backend == "cpu":
         jax.config.update("jax_enable_x64", False)  # match TPU numerics path

@@ -29,6 +29,7 @@ def main():
     import jax
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     import jax.numpy as jnp
     import numpy as np

@@ -19,6 +19,7 @@ import jax
 # overrides JAX_PLATFORMS; force the CPU backend explicitly.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: test-suite wall time is dominated by XLA
 # compiles of the solver graphs; reruns become cache hits (the analogue of
