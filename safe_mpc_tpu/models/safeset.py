@@ -15,6 +15,7 @@ unpickler), so trained safe sets port unchanged.
 from __future__ import annotations
 
 import io
+import os
 import pickle
 import struct
 import zipfile
@@ -208,6 +209,15 @@ class NetSafeSet:
         self.activation = ACTIVATIONS[cfg.act_fun]
         if params is None:
             ckpt_path = checkpoint or cfg.network_path
+            if ckpt_path and not os.path.isabs(ckpt_path):
+                from ..config import REPO_ROOT
+                cand = os.path.join(REPO_ROOT, ckpt_path)
+                ckpt_path = cand if os.path.exists(cand) else ckpt_path
+            if ckpt_path and not os.path.exists(ckpt_path):
+                import warnings
+                warnings.warn(f"safe-set checkpoint {ckpt_path!r} not found; "
+                              "using a randomly initialised net")
+                ckpt_path = ""
             if ckpt_path:
                 data = load_torch_checkpoint(ckpt_path)
                 params = mlp_from_state_dict(data["model"], data["mean"], data["std"])

@@ -206,6 +206,23 @@ def solve_qp(data: QPData, iters: int = 20, mu0: float = 1e2,
     Cu_full = jnp.concatenate(
         [data.Cu, jnp.zeros_like(data.Cu[:1])], axis=0) * act[..., None]
 
+    # Per-row normalization (exact reformulation): rows with huge gradients
+    # (e.g. the NN safe set's v/|v| Jacobian ~1/eps near rest) would
+    # otherwise destroy the stage Hessian's conditioning, especially in
+    # f32. Soft penalties rescale as zl/s, Zl/s^2; slacks unscale at exit.
+    gmax = jnp.maximum(jnp.max(jnp.abs(Cx), axis=-1),
+                       jnp.max(jnp.abs(Cu_full), axis=-1))
+    rscale = 1.0 / jnp.maximum(1.0, gmax)
+    h = h * rscale
+    lo = lo * rscale
+    up = up * rscale
+    Cx = Cx * rscale[..., None]
+    Cu_full = Cu_full * rscale[..., None]
+    zl_w = data.zl / rscale
+    zu_w = data.zu / rscale
+    Zl_w = data.Zl / (rscale * rscale)
+    Zu_w = data.Zu / (rscale * rscale)
+
     soft = data.soft * act
 
     # initial primal slacks/duals
@@ -236,7 +253,7 @@ def solve_qp(data: QPData, iters: int = 20, mu0: float = 1e2,
 
         d_eff, gamma, aux = _row_weights(
             t1, l1, t2, l2, t3, l3, t4, l4, c1, c3, sl, su, soft,
-            data.zl, data.zu, data.Zl, data.Zu, mu)
+            zl_w, zu_w, Zl_w, Zu_w, mu)
         d_eff = d_eff * act
         gamma = gamma * act
 
@@ -326,7 +343,9 @@ def solve_qp(data: QPData, iters: int = 20, mu0: float = 1e2,
     status = jnp.where(fail, 4, 0).astype(jnp.int32)
     dx = jnp.where(nan_bad, jnp.zeros_like(dx), dx)
     du = jnp.where(nan_bad, jnp.zeros_like(du), du)
-    return QPSolution(dx=dx, du=du, sl=sl * soft, su=su * soft,
+    # unscale soft slacks back to original row units
+    return QPSolution(dx=dx, du=du, sl=sl * soft / rscale,
+                      su=su * soft / rscale,
                       hard_violation=hard_viol,
                       eq_residual=jnp.zeros((), dtype),
                       stat_residual=compl, status=status)

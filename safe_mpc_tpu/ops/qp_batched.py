@@ -159,6 +159,20 @@ def solve_qp_batched(data: QPData, iters: int = 20, mu0: float = 1e2,
     Cu_full = jnp.concatenate([Cu, jnp.zeros_like(Cu[:1])], axis=0) \
         * act[:, :, None]
 
+    # per-row normalization (exact reformulation; see ops/qp.py)
+    gmax = jnp.maximum(jnp.max(jnp.abs(Cx), axis=2),
+                       jnp.max(jnp.abs(Cu_full), axis=2))   # (N+1, m, B)
+    rscale = 1.0 / jnp.maximum(1.0, gmax)
+    h = h * rscale
+    lo = lo * rscale
+    up = up * rscale
+    Cx = Cx * rscale[:, :, None]
+    Cu_full = Cu_full * rscale[:, :, None]
+    zl = zl / rscale
+    zu = zu / rscale
+    Zl = Zl / (rscale * rscale)
+    Zu = Zu / (rscale * rscale)
+
     c1_0 = h - lo
     c3_0 = up - h
     t1 = jnp.maximum(c1_0, 1.0)
@@ -271,7 +285,7 @@ def solve_qp_batched(data: QPData, iters: int = 20, mu0: float = 1e2,
 
     # ---- back to batch-leading
     fl = lambda a: jnp.moveaxis(a, -1, 0)
-    return QPSolution(dx=fl(dx), du=fl(du), sl=fl(sl * soft),
-                      su=fl(su * soft), hard_violation=hard_viol,
+    return QPSolution(dx=fl(dx), du=fl(du), sl=fl(sl * soft / rscale),
+                      su=fl(su * soft / rscale), hard_violation=hard_viol,
                       eq_residual=jnp.zeros((Bn,), dtype),
                       stat_residual=compl, status=status)

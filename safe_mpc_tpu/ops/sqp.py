@@ -75,6 +75,8 @@ def sqp_solve(spec: OcpSpec, xg, ug, x0, schedule: NodeSchedule,
     MERIT_BACKTRACKING, parser.py:139). Runs a fixed `max_iters` scan with
     converged problems frozen (batch-uniform compute under vmap)."""
     dtype = xg.dtype
+    if dtype == jnp.float32:
+        tol = max(tol, 1e-4)   # f32 step norms bottom out around 1e-5
 
     def merit(xs, us, data):
         cost = spec.total_cost(xs, us, schedule.p_ee)
