@@ -40,8 +40,10 @@ def main():
     from safe_mpc_tpu.models.manipulator import ManipulatorModel
 
     N = 25
-    batch = int(os.environ.get("BENCH_BATCH", "2048" if backend != "cpu"
-                               else "256"))
+    # default batch: validated headroom on a single v5e chip (HBM-bound at
+    # ~2048 with the full linearization live set)
+    batch = int(os.environ.get("BENCH_BATCH", "512" if backend != "cpu"
+                               else "128"))
     reps = int(os.environ.get("BENCH_REPS", "20"))
 
     cfg = load_config().with_(N=N, use_net=False)

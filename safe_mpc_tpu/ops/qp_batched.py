@@ -114,7 +114,8 @@ def _riccati_last(A, B, c, dx0, Qb, qb, Rb, rb, Sb):
 
 def solve_qp_batched(data: QPData, iters: int = 20, mu0: float = 1e2,
                      mu_decay: float = 0.45, mu_min: float = 1e-9,
-                     ftb: float = 0.995, hard_tol: float = 1e-6) -> QPSolution:
+                     ftb: float = 0.995, hard_tol: float = 1e-6,
+                     riccati: str = "jnp") -> QPSolution:
     """Batch-major solve of a batched QPData (leading batch axis B on every
     field). Same algorithm and semantics as `solve_qp`; per-problem
     fraction-to-boundary steps and statuses.
@@ -213,7 +214,13 @@ def solve_qp_batched(data: QPData, iters: int = 20, mu0: float = 1e2,
             + jnp.einsum("ij,kjb->kib", Bm, du) - dx[1:]
         dx0_res = dx0 - dx[0]
 
-        ddx, ddu = _riccati_last(A, Bm, c_res, dx0_res, Qb, qb, Rb, rb, Sb)
+        if riccati == "pallas":
+            from .pallas_riccati import riccati_pallas
+            ddx, ddu = riccati_pallas(A, Bm, c_res, dx0_res, Qb, qb, Rb, rb,
+                                      Sb)
+        else:
+            ddx, ddu = _riccati_last(A, Bm, c_res, dx0_res, Qb, qb, Rb, rb,
+                                     Sb)
 
         ddu_full = jnp.concatenate([ddu, jnp.zeros_like(ddu[:1])], axis=0)
         drow = jnp.einsum("kmib,kib->kmb", Cx, ddx) \

@@ -267,8 +267,15 @@ class ClosedLoopSim:
 
     def run(self, x0s, xg=None, ug=None, n_steps: int | None = None,
             plant_params: InertialParams | None = None,
-            keys=None) -> SimResult:
-        """Simulate the whole batch for n_steps and classify outcomes."""
+            keys=None, segment: int | None = 100,
+            verbose: bool = False) -> SimResult:
+        """Simulate the whole batch for n_steps and classify outcomes.
+
+        The scan runs in host-chained segments of `segment` steps (one
+        compiled program, reused): a monolithic 800-step scan at batch 100
+        is too large for a single TPU program, and segments give progress
+        visibility. `segment=None` runs one scan.
+        """
         model, cfg = self.model, self.cfg
         n_steps = int(n_steps or cfg.n_steps)
         B = x0s.shape[0]
@@ -282,7 +289,30 @@ class ClosedLoopSim:
             st2, log = self.step(st, plant_params)
             return st2, (log if self.log_trajectories else None)
 
-        st, logs = jax.lax.scan(scan_step, st0, None, length=n_steps)
+        if segment is None or segment >= n_steps:
+            st, logs = jax.lax.scan(scan_step, st0, None, length=n_steps)
+        else:
+            seg = int(segment)
+            n_full, rem = divmod(n_steps, seg)
+            run_seg = jax.jit(lambda st: jax.lax.scan(
+                scan_step, st, None, length=seg))
+            st = st0
+            parts = []
+            for k in range(n_full):
+                st, logs_k = run_seg(st)
+                if self.log_trajectories:
+                    parts.append(jax.tree.map(np.asarray, logs_k))
+                if verbose:
+                    done = int(jnp.sum(st.mode == MODE_DONE))
+                    print(f"  sim step {(k + 1) * seg}/{n_steps} "
+                          f"(done: {done}/{B})", flush=True)
+            if rem:
+                st, logs_k = jax.lax.scan(scan_step, st, None, length=rem)
+                if self.log_trajectories:
+                    parts.append(jax.tree.map(np.asarray, logs_k))
+            logs = jax.tree.map(
+                lambda *xs: np.concatenate(xs, axis=0), *parts) \
+                if self.log_trajectories else None
 
         # outcome classification (mpc.py:273-291): convergence requires the
         # full horizon (broken runs have no final state)
