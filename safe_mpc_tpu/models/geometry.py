@@ -6,7 +6,10 @@ clamp order (t, u, t) and the ``1e-5`` denominator regulariser — are kept
 so constraint linearizations and feasibility decisions match the
 reference numerics at the boundary.
 
-All functions are scalar-output, jit/vmap/grad-safe.
+All functions are layout-polymorphic: points may be ``(3,)`` (scalar
+output) or batch-last ``(3, K)`` (output ``(K,)``) — the component axis is
+axis 0 and everything else is elementwise, which is what keeps the batched
+linearization's intermediates lane-packed on TPU.
 """
 
 from __future__ import annotations
@@ -37,11 +40,11 @@ def segment_segment_sqdist(a, b, c, d):
     ``casadi_segment_dist`` (utils.py:94-113), including the ``1e-5``
     regulariser that keeps the expression smooth for parallel segments.
     """
-    R = jnp.sum((b - a) * (d - c))
-    S1 = jnp.sum((b - a) * (c - a))
-    D1 = jnp.sum((b - a) ** 2)
-    S2 = jnp.sum((d - c) * (c - a))
-    D2 = jnp.sum((d - c) ** 2)
+    R = jnp.sum((b - a) * (d - c), axis=0)
+    S1 = jnp.sum((b - a) * (c - a), axis=0)
+    D1 = jnp.sum((b - a) ** 2, axis=0)
+    S2 = jnp.sum((d - c) * (c - a), axis=0)
+    D2 = jnp.sum((d - c) ** 2, axis=0)
 
     t = (S1 * D2 - S2 * R) / (D1 * D2 - (R ** 2 + 1e-5))
     t = jnp.clip(t, 0.0, 1.0)
@@ -50,20 +53,21 @@ def segment_segment_sqdist(a, b, c, d):
     t = (u * R + S1) / D1
     t = jnp.clip(t, 0.0, 1.0)
 
-    return jnp.sum(((b - a) * t - (d - c) * u - (c - a)) ** 2)
+    return jnp.sum(((b - a) * t - (d - c) * u - (c - a)) ** 2, axis=0)
 
 
 def point_segment_sqdist(a, b, seg_length, point):
     """Squared distance from `point` to segment [a,b] of known length
     (reference ``ball_segment_dist``, utils.py:115-118; note the reference
     normalises by the *nominal* capsule length, not |b-a|)."""
-    t = jnp.clip(jnp.dot(point - a, b - a) / (seg_length ** 2), 0.0, 1.0)
-    return jnp.sum((point - (a + (b - a) * t)) ** 2)
+    t = jnp.clip(jnp.sum((point - a) * (b - a), axis=0) / (seg_length ** 2),
+                 0.0, 1.0)
+    return jnp.sum((point - (a + (b - a) * t)) ** 2, axis=0)
 
 
 def sphere_sphere_sqdist(center_a, center_b):
     d = center_a - center_b
-    return jnp.dot(d, d)
+    return jnp.sum(d * d, axis=0)
 
 
 def plane_coordinate(point, axis: int):

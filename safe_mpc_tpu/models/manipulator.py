@@ -36,20 +36,58 @@ class CollisionRow:
     Jacobians — no autodiff through the kinematic chain (the 'analytic
     sensitivities' hot path).
 
+    ``points_fn(x, poses, ops)`` is layout-polymorphic: with
+    :class:`_SampleOps` points are (3,), with :class:`_BatchLastOps` they
+    are (3, K) (batch minor — the TPU lane-packed layout); ``val_fn``
+    reduces over the component axis 0 so it works for both.
+
     ``check_lo/check_hi`` are the looser numeric-check bounds used by
     feasibility checks (reference ``collisions_constr_fun``,
     env_model.py:267-268 — tol_obs applied, collision margin not)."""
     name: str
-    points_fn: Callable   # (x, poses) -> tuple of world points
+    points_fn: Callable   # (x, poses, ops) -> tuple of world points
     ancs: tuple           # supporting joint index per point (-1 = fixed)
-    val_fn: Callable      # (*points) -> scalar (small geometric expr)
+    val_fn: Callable      # (*points) -> scalar / (K,) geometric expr
     lo: float
     hi: float
     check_lo: float
     check_hi: float
 
-    def fn(self, x, poses):
-        return self.val_fn(*self.points_fn(x, poses))
+    def fn(self, x, poses, ops):
+        return self.val_fn(*self.points_fn(x, poses, ops))
+
+
+class _SampleOps:
+    """Per-sample geometry ops: poses from `joint_poses`, points (3,)."""
+
+    def __init__(self, robot: RobotModel):
+        self.robot = robot
+
+    def frame_pose(self, poses, frame, dtype):
+        return self.robot.frame_pose_from(poses, frame, dtype=dtype)
+
+    def transform_point(self, R, p, c):
+        return p + R @ jnp.asarray(c, dtype=p.dtype)
+
+    def const_point(self, c, x):
+        return jnp.asarray(c, dtype=jnp.asarray(x).dtype)
+
+
+class _BatchLastOps:
+    """Batch-last geometry ops: poses from `joint_poses_bl`, points (3, K)
+    (constants broadcast as (3, 1))."""
+
+    def __init__(self, robot: RobotModel):
+        self.robot = robot
+
+    def frame_pose(self, poses, frame, dtype):
+        return self.robot.frame_pose_from_bl(poses, frame)
+
+    def transform_point(self, R, p, c):
+        return p + jnp.einsum("xyk,y->xk", R, jnp.asarray(c, dtype=p.dtype))
+
+    def const_point(self, c, x):
+        return jnp.asarray(c, dtype=jnp.asarray(x).dtype)[:, None]
 
 
 class ManipulatorModel:
@@ -246,23 +284,23 @@ class ManipulatorModel:
                                     offset=np.asarray(s.spatial_offset))
 
         def capsule_points(entry):
-            """((x, poses) -> (p0, p1), (anc0, anc1)) for a capsule."""
+            """((x, poses, ops) -> (p0, p1), (anc0, anc1)) for a capsule."""
             if entry["kind"] == "fixed_capsule":
                 a, b = entry["a"], entry["b"]
-                return (lambda x, poses: (jnp.asarray(a, dtype=x.dtype),
-                                          jnp.asarray(b, dtype=x.dtype)),
+                return (lambda x, poses, ops: (ops.const_point(a, x),
+                                               ops.const_point(b, x)),
                         (-1, -1))
             link, T, e0, e1 = entry["link"], entry["T"], entry["e0"], entry["e1"]
             anc = self.robot.frame_support(link)[0]
+            # endpoint = link pose applied to a constant local point:
+            # ([R p; 0 1] @ T) @ e == R (T[:3,:3] e[:3] + T[:3,3]) + p
+            c0 = T[:3, :3] @ e0[:3] + T[:3, 3]
+            c1 = T[:3, :3] @ e1[:3] + T[:3, 3]
 
-            def fn(x, poses):
-                R, p = self.robot.frame_pose_from(poses, link, dtype=x.dtype)
-                Tw = jnp.concatenate(
-                    [jnp.concatenate([R, p[:, None]], axis=1),
-                     jnp.asarray([[0.0, 0.0, 0.0, 1.0]], dtype=x.dtype)], axis=0
-                ) @ jnp.asarray(T, dtype=x.dtype)
-                return (Tw @ jnp.asarray(e0, dtype=x.dtype))[:3], \
-                       (Tw @ jnp.asarray(e1, dtype=x.dtype))[:3]
+            def fn(x, poses, ops):
+                R, p = ops.frame_pose(poses, link, x.dtype)
+                return ops.transform_point(R, p, c0), \
+                    ops.transform_point(R, p, c1)
             return fn, (anc, anc)
 
         rows: list[CollisionRow] = []
@@ -287,7 +325,8 @@ class ManipulatorModel:
             ra, rb = caps[name_a]["radius"], caps[name_b]["radius"]
             rows.append(CollisionRow(
                 pair_name,
-                points_fn=lambda x, poses, ea=ea, eb=eb: ea(x, poses) + eb(x, poses),
+                points_fn=lambda x, poses, ops, ea=ea, eb=eb:
+                    ea(x, poses, ops) + eb(x, poses, ops),
                 ancs=anc_a + anc_b,
                 val_fn=geom.segment_segment_sqdist,
                 lo=(ra + rb + 2 * margin) ** 2, hi=1e6,
@@ -300,10 +339,11 @@ class ManipulatorModel:
             center = np.asarray(obs["position"])
             rows.append(CollisionRow(
                 pair_name,
-                points_fn=lambda x, poses, ea=ea: ea(x, poses),
-                ancs=anc_a,
-                val_fn=lambda a0, a1, L=length, c=center: geom.point_segment_sqdist(
-                    a0, a1, L, jnp.asarray(c, dtype=a0.dtype)),
+                points_fn=lambda x, poses, ops, ea=ea, c=center:
+                    ea(x, poses, ops) + (ops.const_point(c, x),),
+                ancs=anc_a + (-1,),
+                val_fn=lambda a0, a1, c, L=length:
+                    geom.point_segment_sqdist(a0, a1, L, c),
                 lo=(obs["radius"] + ra + 2 * margin) ** 2, hi=1e6,
                 check_lo=(obs["radius"] + ra) ** 2 - tol, check_hi=1e6 + tol))
         elif name_a in caps and name_b in planes:
@@ -313,7 +353,8 @@ class ManipulatorModel:
             for pt_idx in range(2):  # one row per capsule endpoint
                 rows.append(CollisionRow(
                     f"{pair_name}_{pt_idx}",
-                    points_fn=lambda x, poses, ea=ea, k=pt_idx: (ea(x, poses)[k],),
+                    points_fn=lambda x, poses, ops, ea=ea, k=pt_idx:
+                        (ea(x, poses, ops)[k],),
                     ancs=(anc_a[pt_idx],),
                     val_fn=lambda p, ax=pl["axis"]: p[ax],
                     lo=pl["lo"] + ra + 2 * margin, hi=pl["hi"] - ra - 2 * margin,
@@ -326,15 +367,14 @@ class ManipulatorModel:
             center = np.asarray(obs["position"])
             ee_anc = self.robot.frame_support(self.ee_frame)[0]
 
-            def ee_point(x, poses):
-                R, p = self.robot.frame_pose_from(poses, self.ee_frame,
-                                                  dtype=x.dtype)
-                return (p + R @ jnp.asarray(self.ee_offset, dtype=x.dtype),)
+            def ee_point(x, poses, ops, c=center):
+                R, p = ops.frame_pose(poses, self.ee_frame, x.dtype)
+                return (ops.transform_point(R, p, self.ee_offset),
+                        ops.const_point(c, x))
 
             rows.append(CollisionRow(
-                pair_name, points_fn=ee_point, ancs=(ee_anc,),
-                val_fn=lambda ee, c=center: geom.sphere_sphere_sqdist(
-                    ee, jnp.asarray(c, dtype=ee.dtype)),
+                pair_name, points_fn=ee_point, ancs=(ee_anc, -1),
+                val_fn=geom.sphere_sphere_sqdist,
                 lo=(ra + obs["radius"] + 2 * margin) ** 2, hi=1e6,
                 check_lo=(ra + obs["radius"]) ** 2 - tol, check_hi=1e6 + tol))
         elif name_a in rspheres and name_b in planes:
@@ -342,10 +382,9 @@ class ManipulatorModel:
             pl = planes[name_b]
             anc = self.robot.frame_support(sp["link"])[0]
 
-            def sp_point(x, poses, sp=sp):
-                R, p0 = self.robot.frame_pose_from(poses, sp["link"],
-                                                   dtype=x.dtype)
-                return (p0 + R @ jnp.asarray(sp["offset"], dtype=x.dtype),)
+            def sp_point(x, poses, ops, sp=sp):
+                R, p0 = ops.frame_pose(poses, sp["link"], x.dtype)
+                return (ops.transform_point(R, p0, sp["offset"]),)
 
             ra = sp["radius"]
             b0 = pl[("lo", "hi")[pl["real_bound"]]]
@@ -365,7 +404,8 @@ class ManipulatorModel:
             return jnp.zeros((0,), dtype=jnp.asarray(x).dtype)
         if poses is None:
             poses = self.robot.joint_poses(jnp.asarray(x)[: self.nq])
-        return jnp.stack([r.fn(x, poses) for r in self.collision_rows])
+        ops = _SampleOps(self.robot)
+        return jnp.stack([r.fn(x, poses, ops) for r in self.collision_rows])
 
     def collision_linearize(self, x, poses=None):
         """(values (nc,), Jq (nc, nq)) — row Jacobians via the chain rule
@@ -377,16 +417,40 @@ class ManipulatorModel:
             return (jnp.zeros((0,), x.dtype), jnp.zeros((0, nq), x.dtype))
         if poses is None:
             poses = self.robot.joint_poses(x[:nq])
+        ops = _SampleOps(self.robot)
         vals, Jrows = [], []
         for row in self.collision_rows:
-            pts = row.points_fn(x, poses)
-            val = row.val_fn(*pts)
-            grads = jax.grad(row.val_fn,
-                             argnums=tuple(range(len(pts))))(*pts)
+            pts = row.points_fn(x, poses, ops)
+            val, pull = jax.vjp(row.val_fn, *pts)
+            grads = pull(jnp.ones_like(val))
             J = jnp.zeros(nq, x.dtype)
             for g, anc, pt in zip(grads, row.ancs, pts):
                 if anc >= 0:
                     J = J + g @ self.robot.point_jacobian_from(poses, anc, pt)
+            vals.append(val)
+            Jrows.append(J)
+        return jnp.stack(vals), jnp.stack(Jrows)
+
+    def collision_linearize_bl(self, x, poses):
+        """Batch-last :meth:`collision_linearize`: x (nx, K), poses from
+        `joint_poses_bl` -> (values (nc, K), Jq (nc, nq, K)). Same chain
+        rule; every intermediate keeps the batch in the lane axis."""
+        nq = self.nq
+        K = x.shape[-1]
+        if not self.collision_rows:
+            return (jnp.zeros((0, K), x.dtype),
+                    jnp.zeros((0, nq, K), x.dtype))
+        ops = _BatchLastOps(self.robot)
+        vals, Jrows = [], []
+        for row in self.collision_rows:
+            pts = row.points_fn(x, poses, ops)
+            val, pull = jax.vjp(row.val_fn, *pts)
+            grads = pull(jnp.ones_like(val))
+            J = jnp.zeros((nq, K), x.dtype)
+            for g, anc, pt in zip(grads, row.ancs, pts):
+                if anc >= 0:
+                    Jp = self.robot.point_jacobian_bl(poses, anc, pt)
+                    J = J + jnp.einsum("xk,qxk->qk", g, Jp)
             vals.append(val)
             Jrows.append(J)
         return jnp.stack(vals), jnp.stack(Jrows)

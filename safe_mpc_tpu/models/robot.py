@@ -191,6 +191,12 @@ class RobotModel:
                 i = self._parent[i]
         self._body_support = np.array([b[1] for b in self._bodies], dtype=np.int64)
         self._body_offset = np.array([b[2] for b in self._bodies])
+        # joint-ancestry masks for the closed-form derivative tensors:
+        # _joint_anc[i, k] = 1 iff joint k is on the chain root..i (incl. i);
+        # _strict_anc excludes i itself (a_i, p_i don't depend on q_i).
+        self._joint_anc = np.stack([self._chain_mask(i) for i in range(self.nq)])
+        self._strict_anc = self._joint_anc - np.eye(self.nq)
+        self._all_revolute = all(t == _REVOLUTE for t in self.joint_types)
 
     # ---------------------------------------------------------------- frames
 
@@ -297,6 +303,182 @@ class RobotModel:
         Jv, _ = self._point_jacobian(None, anc, point_w, R, p, axes_w)
         return Jv
 
+    # ------------------------------------------------ batch-last kinematics
+    #
+    # TPU layout note: under `vmap` the problem batch leads, so every tiny
+    # (5, 5) / (5, 3) trailing dim is padded to an (8, 128) register tile —
+    # a ~40x memory blowup that makes the linearization HBM-bound (measured:
+    # the closed-form stack ran at the same 24 us/node as the AD tower).
+    # The *_bl variants keep the batch K as the MINOR axis so it fills the
+    # 128-lane dimension, and all tensor indices lead; per-op padding drops
+    # to <2x. Same math as the per-sample methods (pinned by tests).
+
+    def joint_poses_bl(self, q):
+        """Batch-last chain FK: q (nq, K) -> (R (nq, 3, 3, K), p (nq, 3, K),
+        axes_w (nq, 3, K)). Mirrors :meth:`joint_poses`."""
+        K = q.shape[-1]
+        dtype = q.dtype
+        Rs, ps, aws = [], [], []
+        for i in range(self.nq):
+            if self._parent[i] < 0:
+                Rp = jnp.broadcast_to(
+                    jnp.eye(3, dtype=dtype)[:, :, None], (3, 3, K))
+                pp = jnp.zeros((3, K), dtype)
+            else:
+                Rp, pp = Rs[self._parent[i]], ps[self._parent[i]]
+            T_pre = np.asarray(self._T_pre[i])
+            R0 = jnp.einsum("xyk,yz->xzk", Rp, jnp.asarray(T_pre[:3, :3], dtype))
+            p0 = pp + jnp.einsum("xyk,y->xk", Rp, jnp.asarray(T_pre[:3, 3], dtype))
+            axis = np.asarray(self.joint_axes[i])
+            a_w = jnp.einsum("xyk,y->xk", R0, jnp.asarray(axis, dtype))
+            if self.joint_types[i] == _REVOLUTE:
+                Khat = np.array([[0.0, -axis[2], axis[1]],
+                                 [axis[2], 0.0, -axis[0]],
+                                 [-axis[1], axis[0], 0.0]])
+                K2 = Khat @ Khat
+                s, c = jnp.sin(q[i]), jnp.cos(q[i])          # (K,)
+                Rj = (jnp.eye(3, dtype=dtype)[:, :, None]
+                      + jnp.asarray(Khat, dtype)[:, :, None] * s
+                      + jnp.asarray(K2, dtype)[:, :, None] * (1.0 - c))
+                R_i = jnp.einsum("xyk,yzk->xzk", R0, Rj)
+                p_i = p0
+            else:
+                R_i = R0
+                p_i = p0 + a_w * q[i][None, :]
+            Rs.append(R_i)
+            ps.append(p_i)
+            aws.append(a_w)
+        return jnp.stack(Rs), jnp.stack(ps), jnp.stack(aws)
+
+    def frame_pose_from_bl(self, poses, frame: str):
+        """Batch-last :meth:`frame_pose_from`: (R (3,3,K), p (3,K))."""
+        anc, offset = self.frame_support(frame)
+        R, p, _ = poses
+        dtype = p.dtype
+        off = jnp.asarray(offset, dtype)
+        if anc < 0:
+            K = p.shape[-1]
+            return (jnp.broadcast_to(off[:3, :3, None], (3, 3, K)),
+                    jnp.broadcast_to(off[:3, 3, None], (3, K)))
+        Rf = jnp.einsum("xyk,yz->xzk", R[anc], off[:3, :3])
+        pf = p[anc] + jnp.einsum("xyk,y->xk", R[anc], off[:3, 3])
+        return Rf, pf
+
+    def point_jacobian_bl(self, poses, anc: int, point_w):
+        """Batch-last linear point Jacobian: (nq, 3, K) with row k =
+        d(point)/dq_k (masked cross products; :meth:`point_jacobian_from`)."""
+        R, p, axes_w = poses
+        dtype = point_w.dtype
+        if anc < 0:
+            return jnp.zeros((self.nq, 3) + point_w.shape[-1:], dtype)
+        chain = jnp.asarray(self._chain_mask(anc), dtype)[:, None, None]
+        rev = jnp.asarray(
+            [1.0 if t == _REVOLUTE else 0.0 for t in self.joint_types],
+            dtype)[:, None, None]
+        d = point_w[None] - p                                  # (nq, 3, K)
+        Jv_rev = jnp.cross(axes_w, d, axisa=-2, axisb=-2, axisc=-2)
+        return chain * (rev * Jv_rev + (1 - rev) * axes_w)
+
+    def _body_frames_bl(self, R, p, params: InertialParams):
+        """Batch-last body frames: (Rb (nb, 3, 3, K), pb (nb, 3, K))."""
+        sup = self._body_support
+        dtype = R.dtype
+        mask = jnp.asarray((sup >= 0).astype(np.float64),
+                           dtype)[:, None, None, None]
+        sup_c = np.clip(sup, 0, None)
+        off = jnp.asarray(self._body_offset, dtype)
+        Rsup = mask * R[sup_c] + (1 - mask) * jnp.eye(3, dtype=dtype)[:, :, None]
+        psup = mask[:, :, 0] * p[sup_c]
+        Rb = jnp.einsum("bxyk,byz->bxzk", Rsup, off[:, :3, :3])
+        ob = psup + jnp.einsum("bxyk,by->bxk", Rsup, off[:, :3, 3])
+        pb = ob + jnp.einsum("bxyk,by->bxk", Rb, params.com.astype(dtype))
+        return Rb, pb
+
+    def kin_derivatives_bl(self, q, params: InertialParams | None = None,
+                           order: int = 2, poses=None):
+        """Batch-last closed-form derivative stack (all-revolute chains).
+
+        q (nq, K) -> order=1: (M (nq,nq,K), dM (nq,nq,nq,K), gU (nq,K));
+        order=2 additionally (ddM (nq,nq,nq,nq,K), HU (nq,nq,K)) in the
+        order (M, dM, ddM, gU, HU). Same recursions as
+        :meth:`_kin_derivatives`, batch minor."""
+        assert self._all_revolute, "closed-form stack needs revolute joints"
+        params = self.default_params if params is None else params
+        dtype = q.dtype
+        if poses is None:
+            poses = self.joint_poses_bl(q)
+        R, p, a = poses
+        Rb, pb = self._body_frames_bl(R, p, params)
+        S = jnp.asarray(self._strict_anc, dtype)      # (nq_i, nq_k)
+        Cb = jnp.asarray(self._body_anc, dtype)       # (nb, nq)
+        m = params.mass.astype(dtype)
+        Iw = jnp.einsum("bxyk,byz,bwzk->bxwk", Rb,
+                        params.inertia.astype(dtype), Rb)
+
+        def cr(x, y):
+            return jnp.cross(x, y, axisa=-2, axisb=-2, axisc=-2)
+
+        # first-order tensors, index [i, k, xyz, K]
+        da = S[:, :, None, None] * cr(a[None], a[:, None])
+        d_ip = p[:, None] - p[None]                    # p_i - p_k
+        dp = S[:, :, None, None] * cr(a[None], d_ip)
+        d_bp = pb[:, None] - p[None]                   # pb_b - p_k
+        dpb = Cb[:, :, None, None] * cr(a[None], d_bp)   # == Jv[b, k]
+        Jw = Cb[:, :, None, None] * a[None]
+        A_hat = _hat_bl(a)                             # (nq, 3, 3, K)
+        dIw = Cb[:, :, None, None, None] * (
+            jnp.einsum("kxyt,byzt->bkxzt", A_hat, Iw)
+            - jnp.einsum("bxyt,kyzt->bkxzt", Iw, A_hat))
+
+        ddpb = Cb[:, :, None, None, None] * (
+            cr(da[None], d_bp[:, :, None])
+            + cr(a[None, :, None], dpb[:, None] - dp[None]))
+        dJw = Cb[:, :, None, None, None] * da[None]    # (b, p, k, 3, K)
+
+        M = jnp.einsum("b,bpxt,bqxt->pqt", m, dpb, dpb) \
+            + jnp.einsum("bpxt,bxyt,bqyt->pqt", Jw, Iw, Jw)
+        gU = GRAVITY * jnp.einsum("b,bkt->kt", m, dpb[:, :, 2])
+
+        dM_lin = jnp.einsum("b,bpkxt,bqxt->pqkt", m, ddpb, dpb)
+        dM = (dM_lin + jnp.swapaxes(dM_lin, 0, 1)
+              + jnp.einsum("bpkxt,bxyt,bqyt->pqkt", dJw, Iw, Jw)
+              + jnp.einsum("bpxt,bkxyt,bqyt->pqkt", Jw, dIw, Jw)
+              + jnp.einsum("bpxt,bxyt,bqkyt->pqkt", Jw, Iw, dJw))
+        if order == 1:
+            return M, dM, gU
+
+        dda = S[:, :, None, None, None] * (
+            cr(da[None], a[:, None, None])
+            + cr(a[None, :, None], da[:, None]))
+        ddp = S[:, :, None, None, None] * (
+            cr(da[None], d_ip[:, :, None])
+            + cr(a[None, :, None], dp[:, None] - dp[None]))
+        dda_hat = _hat_bl(da)                          # (k, l, 3, 3, K)
+        ddIw = Cb[:, :, None, None, None, None] * (
+            jnp.einsum("klxyt,byzt->bklxzt", dda_hat, Iw)
+            - jnp.einsum("bxyt,klyzt->bklxzt", Iw, dda_hat)
+            + jnp.einsum("kxyt,blyzt->bklxzt", A_hat, dIw)
+            - jnp.einsum("blxyt,kyzt->bklxzt", dIw, A_hat))
+        dddpb = Cb[:, :, None, None, None, None] * (
+            cr(dda[None], d_bp[:, :, None, None])
+            + cr(da[None, :, :, None],
+                 dpb[:, None, None] - dp[None, :, None])
+            + cr(da[None, :, None],
+                 dpb[:, None, :, None] - dp[None, :, :, None])
+            + cr(a[None, :, None, None], ddpb[:, None] - ddp[None]))
+        ddJw = Cb[:, :, None, None, None, None] * dda[None]
+
+        A2 = jnp.einsum("bpkxt,blxyt,bqyt->pqklt", dJw, dIw, Jw)
+        half = (jnp.einsum("b,bpklxt,bqxt->pqklt", m, dddpb, dpb)
+                + jnp.einsum("b,bpkxt,bqlxt->pqklt", m, ddpb, ddpb)
+                + jnp.einsum("bpklxt,bxyt,bqyt->pqklt", ddJw, Iw, Jw)
+                + A2 + jnp.swapaxes(A2, 2, 3)
+                + jnp.einsum("bpkxt,bxyt,bqlyt->pqklt", dJw, Iw, dJw)
+                + 0.5 * jnp.einsum("bpxt,bklxyt,bqyt->pqklt", Jw, ddIw, Jw))
+        ddM = half + jnp.transpose(half, (1, 0, 2, 3, 4))
+        HU = GRAVITY * jnp.einsum("b,bklt->klt", m, ddpb[:, :, :, 2])
+        return M, dM, ddM, gU, HU
+
     def dynamics_derivative_stack(self, q, params: InertialParams | None = None):
         """(M, dM, ddM, gU, HU): the mass matrix, its first and second
         configuration derivatives, and the gravity gradient/Hessian.
@@ -305,7 +487,21 @@ class RobotModel:
         contractions of these small tensors (nq<=7: ddM is nq^4 <= 2401
         floats) — the 'analytic sensitivities' path that keeps heavy
         autodiff towers out of the per-node hot loop.
+
+        All-revolute chains (the Z1) use the closed-form geometric
+        recursions (:meth:`_kin_derivatives`) — ~10x fewer ops than the
+        nested-jacfwd tower, which re-evaluates the mass matrix once per
+        tangent (~(1+nq)^2 times). Mixed chains fall back to the AD oracle.
+        The two paths are pinned against each other by tests/test_robot.py.
         """
+        if self._all_revolute:
+            return self._kin_derivatives(q, params, order=2)
+        return self.dynamics_derivative_stack_ad(q, params)
+
+    def dynamics_derivative_stack_ad(self, q,
+                                     params: InertialParams | None = None):
+        """Autodiff oracle for :meth:`dynamics_derivative_stack` (nested
+        jacfwd); kept as the correctness reference for the closed form."""
         q = jnp.asarray(q)
         Mfun = lambda qq: self.mass_matrix(qq, params)
         M = Mfun(q)
@@ -314,6 +510,106 @@ class RobotModel:
         Ufun = lambda qq: self.potential_energy(qq, params)
         gU = jax.grad(Ufun)(q)
         HU = jax.jacfwd(jax.grad(Ufun))(q)
+        return M, dM, ddM, gU, HU
+
+    def _kin_derivatives(self, q, params: InertialParams | None, order: int):
+        """Closed-form (M, dM[, ddM], gU[, HU]) for all-revolute chains.
+
+        Geometric derivative calculus: for revolute joint k with world axis
+        a_k through point p_k, any point x and free vector w rigidly
+        attached below k satisfy  dx/dq_k = a_k x (x - p_k)  and
+        dw/dq_k = a_k x w.  These rules close under differentiation, so
+        first/second/third derivatives of the body COM positions (= the
+        linear point Jacobians and their derivatives) and first/second
+        derivatives of the joint axes (= the angular Jacobians') are all
+        masked cross-product einsums over (nb, nq, nq, nq, 3) tensors —
+        no autodiff, no FK replays. With
+          Jv[b,p] = dpb[b,p],  Jw[b,p] = Cb[b,p] a_p,
+          M = sum_b m_b Jv' Jv + Jw' Iw Jw,
+        dM/ddM follow by the product rule; gravity gU/HU are the z-rows of
+        dpb/ddpb. order=1 returns (M, dM, gU); order=2 returns
+        (M, dM, ddM, gU, HU).
+        """
+        params = self.default_params if params is None else params
+        q = jnp.asarray(q)
+        dtype = q.dtype
+        R, p, a = self._joint_poses(q)
+        Rb, pb = self._body_frames_from(R, p, params)
+        S = jnp.asarray(self._strict_anc, dtype)       # (nq, nq) [i, k]
+        Cb = jnp.asarray(self._body_anc, dtype)        # (nb, nq)
+        m = params.mass.astype(dtype)
+        Iw = jnp.einsum("bij,bjk,blk->bil", Rb, params.inertia.astype(dtype),
+                        Rb)
+
+        # ---- first-order tensors (index convention: d?[i, k] = d(?_i)/dq_k)
+        da = S[:, :, None] * jnp.cross(a[None, :, :], a[:, None, :])
+        d_ip = p[:, None, :] - p[None, :, :]            # p_i - p_k
+        dp = S[:, :, None] * jnp.cross(a[None, :, :], d_ip)
+        d_bp = pb[:, None, :] - p[None, :, :]           # pb_b - p_k
+        dpb = Cb[:, :, None] * jnp.cross(a[None, :, :], d_bp)  # == Jv[b,k]
+        Jw = Cb[:, :, None] * a[None, :, :]
+        A_hat = _hat(a)                                 # (nq, 3, 3)
+        dIw = Cb[:, :, None, None] * (
+            jnp.einsum("kxy,byz->bkxz", A_hat, Iw)
+            - jnp.einsum("bxy,kyz->bkxz", Iw, A_hat))
+
+        # ---- second derivatives of pb (= dJv) — needed already for dM
+        ddpb = Cb[:, :, None, None] * (
+            jnp.cross(da[None, :, :, :], d_bp[:, :, None, :])
+            + jnp.cross(a[None, :, None, :],
+                        dpb[:, None, :, :] - dp[None, :, :, :]))
+        dJw = Cb[:, :, None, None] * da[None, :, :, :]  # (b, p, k, 3)
+
+        M = jnp.einsum("b,bpx,bqx->pq", m, dpb, dpb) \
+            + jnp.einsum("bpx,bxy,bqy->pq", Jw, Iw, Jw)
+        gU = GRAVITY * jnp.einsum("b,bk->k", m, dpb[:, :, 2])
+
+        dM_lin = jnp.einsum("b,bpkx,bqx->pqk", m, ddpb, dpb)
+        dM = (dM_lin + jnp.swapaxes(dM_lin, 0, 1)
+              + jnp.einsum("bpkx,bxy,bqy->pqk", dJw, Iw, Jw)
+              + jnp.einsum("bpx,bkxy,bqy->pqk", Jw, dIw, Jw)
+              + jnp.einsum("bpx,bxy,bqky->pqk", Jw, Iw, dJw))
+        if order == 1:
+            return M, dM, gU
+
+        # ---- second-order tensors
+        dda = S[:, :, None, None] * (
+            jnp.cross(da[None, :, :, :], a[:, None, None, :])
+            + jnp.cross(a[None, :, None, :], da[:, None, :, :]))
+        ddp = S[:, :, None, None] * (
+            jnp.cross(da[None, :, :, :], d_ip[:, :, None, :])
+            + jnp.cross(a[None, :, None, :],
+                        dp[:, None, :, :] - dp[None, :, :, :]))
+        dda_hat = _hat(da)                              # (k, l, 3, 3)
+        ddIw = Cb[:, :, None, None, None] * (
+            jnp.einsum("klxy,byz->bklxz", dda_hat, Iw)
+            - jnp.einsum("bxy,klyz->bklxz", Iw, dda_hat)
+            + jnp.einsum("kxy,blyz->bklxz", A_hat, dIw)
+            - jnp.einsum("blxy,kyz->bklxz", dIw, A_hat))
+        # third derivative of pb (= ddJv), (b, k, l, n, 3)
+        dddpb = Cb[:, :, None, None, None] * (
+            jnp.cross(dda[None, :, :, :, :], d_bp[:, :, None, None, :])
+            + jnp.cross(da[None, :, :, None, :],
+                        dpb[:, None, None, :, :] - dp[None, :, None, :, :])
+            + jnp.cross(da[None, :, None, :, :],
+                        dpb[:, None, :, None, :] - dp[None, :, :, None, :])
+            + jnp.cross(a[None, :, None, None, :],
+                        ddpb[:, None, :, :, :] - ddp[None, :, :, :, :]))
+        ddJw = Cb[:, :, None, None, None] * dda[None]   # (b, p, k, l, 3)
+
+        # product rule over M[p,q] = sum_b m dpb[p].dpb[q] + Jw[p].Iw.Jw[q]:
+        # `half` collects one representative of each (p<->q)-symmetric term
+        # pair (the middle matrices dIw/ddIw are symmetric, so the p<->q
+        # image of u.X.w is w.X.u); adding the transpose completes the sum.
+        A2 = jnp.einsum("bpkx,blxy,bqy->pqkl", dJw, dIw, Jw)
+        half = (jnp.einsum("b,bpklx,bqx->pqkl", m, dddpb, dpb)
+                + jnp.einsum("b,bpkx,bqlx->pqkl", m, ddpb, ddpb)
+                + jnp.einsum("bpklx,bxy,bqy->pqkl", ddJw, Iw, Jw)
+                + A2 + jnp.swapaxes(A2, 2, 3)
+                + jnp.einsum("bpkx,bxy,bqly->pqkl", dJw, Iw, dJw)
+                + 0.5 * jnp.einsum("bpx,bklxy,bqy->pqkl", Jw, ddIw, Jw))
+        ddM = half + jnp.transpose(half, (1, 0, 2, 3))
+        HU = GRAVITY * jnp.einsum("b,bkl->kl", m, ddpb[:, :, :, 2])
         return M, dM, ddM, gU, HU
 
     def frame_jacobian(self, q, frame: str, local_offset=None):
@@ -398,12 +694,16 @@ class RobotModel:
         """
         q = jnp.asarray(q)
         v = jnp.asarray(v)
-        Mfun = lambda qq: self.mass_matrix(qq, params)
-        M = Mfun(q)
-        dM = jax.jacfwd(Mfun)(q)                     # (nq, nq, nq)
+        if self._all_revolute:
+            M, dM, gU = self._kin_derivatives(q, params, order=1)
+        else:
+            Mfun = lambda qq: self.mass_matrix(qq, params)
+            M = Mfun(q)
+            dM = jax.jacfwd(Mfun)(q)                 # (nq, nq, nq)
+            gU = self.gravity_term(q, params)
         Mdot_v = jnp.einsum("ijk,k,j->i", dM, v, v)  # (Mdot v)_i
         quad = 0.5 * jnp.einsum("j,jki,k->i", v, dM, v)
-        h = Mdot_v - quad + self.gravity_term(q, params)
+        h = Mdot_v - quad + gU
         return M, h
 
     def bias_force(self, q, v, params: InertialParams | None = None):
@@ -420,6 +720,29 @@ class RobotModel:
         """a = M(q)^{-1} (tau - h(q, v)) (reference env_model.py:202)."""
         M, h = self.dynamics_terms(q, v, params)
         return jnp.linalg.solve(M, jnp.asarray(tau) - h)
+
+
+def _hat(v):
+    """Skew-symmetric cross-product matrix, batched over leading axes:
+    (..., 3) -> (..., 3, 3) with hat(v) @ x == cross(v, x)."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zero = jnp.zeros_like(x)
+    return jnp.stack([
+        jnp.stack([zero, -z, y], axis=-1),
+        jnp.stack([z, zero, -x], axis=-1),
+        jnp.stack([-y, x, zero], axis=-1),
+    ], axis=-2)
+
+
+def _hat_bl(v):
+    """Batch-last hat: (..., 3, K) -> (..., 3, 3, K)."""
+    x, y, z = v[..., 0, :], v[..., 1, :], v[..., 2, :]
+    zero = jnp.zeros_like(x)
+    return jnp.stack([
+        jnp.stack([zero, -z, y], axis=-2),
+        jnp.stack([z, zero, -x], axis=-2),
+        jnp.stack([-y, x, zero], axis=-2),
+    ], axis=-3)
 
 
 def _axis_angle(axis, theta):

@@ -252,6 +252,26 @@ class NetSafeSet:
         """Residual at the configured alpha (nn_func_x, safe_set.py:100-102)."""
         return self.value(x, self.cfg.alpha)
 
+    def value_bl(self, x, alpha):
+        """Batch-last residual: x (nx, K) -> (1, K). Same math as
+        :meth:`value`; the MLP runs as (width, K) GEMMs so the problem
+        batch fills the MXU lanes."""
+        nq, nd, eps = self.cfg.nq, self._nd, self.cfg.eps
+        x = x.at[nq].add(eps)
+        v = x[nq: nq + nd]                                   # (nd, K)
+        vel_norm = jnp.sqrt(jnp.sum(v * v, axis=0))          # (K,)
+        mean = self.params.mean.astype(x.dtype)[:, None]
+        std = self.params.std.astype(x.dtype)[:, None]
+        h = jnp.concatenate([(x[:nd] - mean) / std, v / vel_norm])
+        n = len(self.params.weights)
+        for i in range(n):
+            w = self.params.weights[i].astype(x.dtype)
+            b = self.params.biases[i].astype(x.dtype)
+            h = w @ h + b[:, None]
+            if i < n - 1:
+                h = self.activation(h)
+        return h[:1] * (100.0 - alpha) / 100.0 - vel_norm[None]
+
     def check(self, x, alpha=None):
         """Boolean membership with tol_safe_set slack (safe_set.py:61-68)."""
         a = self.cfg.alpha if alpha is None else alpha
@@ -323,6 +343,44 @@ class AnalyticSafeSet:
 
     def value(self, x, alpha=None):
         return self._rows(x, alpha)
+
+    def value_bl(self, x, alpha=None):
+        """Batch-last rows: x (nx, K) -> (ns, K). FK is recomputed from x
+        (batch-last chain) so autodiff through this function yields the full
+        row Jacobians, including the d(J v)/dq terms."""
+        cfg, nd = self.cfg, self._nd
+        nq = cfg.nq
+        model, robot = self.model, self.model.robot
+        dtype = x.dtype
+        q, v = x[:nd], x[nq: nq + nd]
+        poses = robot.joint_poses_bl(x[:nq])
+        Rf, pf = robot.frame_pose_from_bl(poses, model.ee_frame)
+        ee = pf + jnp.einsum("xyk,y->xk", Rf,
+                             jnp.asarray(model.ee_offset, dtype))
+        anc = robot.frame_support(model.ee_frame)[0]
+        # frame-origin Jacobian, matching per-sample ee_jac (no tool offset)
+        Jq = robot.point_jacobian_bl(poses, anc, pf)     # (nq, 3, K)
+        ee_vel = jnp.einsum("qxk,qk->xk", Jq[:nd], v)
+        rows = []
+        for kind, ob in self._obs:
+            if kind == "plane":
+                dist = ob.position[2] - ee[2]
+                dx_max = jnp.sqrt(2 * cfg.ddx_max[2]
+                                  * jnp.abs(dist + self.reg))
+                rows.append(-(ee_vel[2] * jnp.sign(dist) - dx_max)[None])
+            else:
+                dvec = jnp.asarray(ob.position, dtype)[:, None] - ee
+                dx_max = jnp.sqrt(jnp.sum(
+                    2 * jnp.asarray(cfg.ddx_max, dtype)[:, None]
+                    * jnp.abs(dvec + self.reg), axis=0))
+                dn = jnp.sqrt(jnp.sum(dvec * dvec, axis=0))
+                rows.append(-(jnp.sum(ee_vel * dvec, axis=0) / dn
+                              - dx_max)[None])
+        x_min = jnp.asarray(self.model.x_min, dtype)[:nd, None]
+        x_max = jnp.asarray(self.model.x_max, dtype)[:nd, None]
+        rows.append(v / jnp.sqrt(q - x_min + self.reg))
+        rows.append(-v / jnp.sqrt(x_max - q + self.reg))
+        return jnp.concatenate(rows)
 
     def value_fixed_alpha(self, x):
         return self._rows(x, self.cfg.alpha)

@@ -19,10 +19,47 @@ leading batch axis on every field.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import jax
 import jax.numpy as jnp
 
 from .qp import QPData, QPSolution, _row_weights, _TMIN
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class QPDataBL:
+    """Batch-last OCP-QP batch: every per-problem field carries the batch
+    as its MINOR axis (the TPU lane dimension); A/B are shared across the
+    batch (LTI double-integrator dynamics, transcribe.py).
+
+    Shapes (batch Bt, horizon N, m rows/node):
+      A (nx,nx), B (nx,nu) — shared;  c (N,nx,Bt), dx0 (nx,Bt),
+      Q (N+1,nx,nx,Bt), q (N+1,nx,Bt), R (N,nu,nu,Bt), r (N,nu,Bt),
+      Cx (N+1,m,nx,Bt), Cu (N,m,nu,Bt),
+      h/lo/up/active/soft/zl/zu/Zl/Zu (N+1,m,Bt).
+    """
+
+    A: jax.Array
+    B: jax.Array
+    c: jax.Array
+    dx0: jax.Array
+    Q: jax.Array
+    q: jax.Array
+    R: jax.Array
+    r: jax.Array
+    Cx: jax.Array
+    Cu: jax.Array
+    h: jax.Array
+    lo: jax.Array
+    up: jax.Array
+    active: jax.Array
+    soft: jax.Array
+    zl: jax.Array
+    zu: jax.Array
+    Zl: jax.Array
+    Zu: jax.Array
 
 
 def _chol_last(M):

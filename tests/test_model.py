@@ -122,3 +122,39 @@ def test_batched_plant_vmap(model):
     keys = jax.random.split(jax.random.PRNGKey(1), 8)
     xn, _ = jax.vmap(model.plant_step)(xs, us, keys)
     assert xn.shape == xs.shape
+
+
+def rand_X(model, K, seed=0, vel_scale=0.5):
+    """Batch-last random states (nx, K)."""
+    rng = np.random.default_rng(seed)
+    q = rng.uniform(model.x_min[: model.nq], model.x_max[: model.nq],
+                    (K, model.nq))
+    v = vel_scale * rng.uniform(-1, 1, (K, model.nq))
+    return jnp.concatenate([jnp.asarray(q), jnp.asarray(v)], axis=1).T
+
+
+def test_collision_linearize_bl_matches_per_sample(model):
+    """Batch-last collision values + Jacobians pin to the per-sample path
+    (the lane-packed layout feeding the batched transcription)."""
+    K = 6
+    X = rand_X(model, K, seed=21)
+    poses_bl = model.robot.joint_poses_bl(X[: model.nq])
+    vals_bl, J_bl = model.collision_linearize_bl(X, poses_bl)
+    for k in range(K):
+        vals, J = model.collision_linearize(X[:, k])
+        np.testing.assert_allclose(vals_bl[:, k], vals, atol=1e-11)
+        np.testing.assert_allclose(J_bl[..., k], J, atol=1e-11)
+
+
+def test_collision_value_bl_matches_fn(model):
+    """Row values via the batch-last ops equal collision_values."""
+    from safe_mpc_tpu.models.manipulator import _BatchLastOps
+    K = 4
+    X = rand_X(model, K, seed=22)
+    poses_bl = model.robot.joint_poses_bl(X[: model.nq])
+    ops = _BatchLastOps(model.robot)
+    vals_bl = jnp.stack([r.fn(X, poses_bl, ops)
+                         for r in model.collision_rows])
+    for k in range(K):
+        vals = model.collision_values(X[:, k])
+        np.testing.assert_allclose(vals_bl[:, k], vals, atol=1e-11)

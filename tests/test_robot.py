@@ -168,3 +168,93 @@ def test_n_dofs_4_subchain():
     p4 = robot4.frame_position(q, "gripperMover")
     p5 = robot5.frame_position(jnp.concatenate([q, jnp.zeros(1)]), "gripperMover")
     np.testing.assert_allclose(p4, p5, atol=1e-12)
+
+
+# ---------------------------------------------------------------- closed form
+
+
+def test_kin_derivatives_vs_ad_oracle(robot):
+    """Closed-form geometric (M, dM, ddM, gU, HU) pins to the nested-jacfwd
+    autodiff tower (dynamics_derivative_stack_ad) — the equivalence that
+    licenses using the cheap path in the RTI hot loop."""
+    for seed in range(3):
+        q, _ = rand_qv(robot, seed)
+        ref = robot.dynamics_derivative_stack_ad(q)
+        got = robot._kin_derivatives(q, None, order=2)
+        for name, a, b in zip(("M", "dM", "ddM", "gU", "HU"), got, ref):
+            np.testing.assert_allclose(a, b, atol=5e-11, err_msg=name)
+
+
+def test_kin_derivatives_order1_vs_ad(robot):
+    q, _ = rand_qv(robot, 7)
+    M_ref, dM_ref, _, gU_ref, _ = robot.dynamics_derivative_stack_ad(q)
+    M, dM, gU = robot._kin_derivatives(q, None, order=1)
+    np.testing.assert_allclose(M, M_ref, atol=5e-11)
+    np.testing.assert_allclose(dM, dM_ref, atol=5e-11)
+    np.testing.assert_allclose(gU, gU_ref, atol=5e-11)
+
+
+def test_kin_derivatives_perturbed_params(robot):
+    """Closed form must track per-problem inertial noise too."""
+    params = robot.default_params.perturbed(jax.random.PRNGKey(3),
+                                            10.0, 10.0, 10.0)
+    q, _ = rand_qv(robot, 2)
+    ref = robot.dynamics_derivative_stack_ad(q, params)
+    got = robot._kin_derivatives(q, params, order=2)
+    for name, a, b in zip(("M", "dM", "ddM", "gU", "HU"), got, ref):
+        np.testing.assert_allclose(a, b, atol=5e-11, err_msg=name)
+
+
+def test_dynamics_terms_uses_closed_form(robot):
+    """dynamics_terms (closed-form gated) equals the AD Lagrangian bias."""
+    q, v = rand_qv(robot, 4)
+    M, h = robot.dynamics_terms(q, v)
+    # independent check: h = Mdot v - d/dq (0.5 v'Mv) + g via AD
+    Mfun = lambda qq: robot.mass_matrix(qq)
+    dM = jax.jacfwd(Mfun)(q)
+    Mdot_v = jnp.einsum("ijk,k,j->i", dM, v, v)
+    quad = 0.5 * jnp.einsum("j,jki,k->i", v, dM, v)
+    expect = Mdot_v - quad + robot.gravity_term(q)
+    np.testing.assert_allclose(h, expect, atol=5e-11)
+    np.testing.assert_allclose(M, Mfun(q), atol=5e-12)
+
+
+# ---------------------------------------------------------------- batch-last
+
+
+def test_joint_poses_bl_matches_per_sample(robot):
+    rng = np.random.default_rng(11)
+    Q = jnp.asarray(rng.uniform(robot.q_min, robot.q_max, (8, robot.nq)))
+    R_bl, p_bl, a_bl = robot.joint_poses_bl(Q.T)
+    for k in range(8):
+        R, p, a = robot._joint_poses(Q[k])
+        np.testing.assert_allclose(R_bl[..., k], R, atol=1e-12)
+        np.testing.assert_allclose(p_bl[..., k], p, atol=1e-12)
+        np.testing.assert_allclose(a_bl[..., k], a, atol=1e-12)
+
+
+def test_kin_derivatives_bl_matches_per_sample(robot):
+    rng = np.random.default_rng(12)
+    K = 4
+    Q = jnp.asarray(rng.uniform(robot.q_min, robot.q_max, (K, robot.nq)))
+    out_bl = robot.kin_derivatives_bl(Q.T, order=2)
+    for k in range(K):
+        ref = robot._kin_derivatives(Q[k], None, order=2)
+        for name, a, b in zip(("M", "dM", "ddM", "gU", "HU"), out_bl, ref):
+            np.testing.assert_allclose(a[..., k], b, atol=1e-11,
+                                       err_msg=f"{name}[{k}]")
+
+
+def test_point_jacobian_bl_matches_per_sample(robot):
+    rng = np.random.default_rng(13)
+    K = 5
+    Q = jnp.asarray(rng.uniform(robot.q_min, robot.q_max, (K, robot.nq)))
+    poses_bl = robot.joint_poses_bl(Q.T)
+    anc = robot.nq - 1
+    # world point: the last joint origin itself
+    pt = poses_bl[1][anc]                                    # (3, K)
+    J_bl = robot.point_jacobian_bl(poses_bl, anc, pt)        # (nq, 3, K)
+    for k in range(K):
+        poses = robot._joint_poses(Q[k])
+        J = robot.point_jacobian_from(poses, anc, pt[:, k])  # (3, nq)
+        np.testing.assert_allclose(J_bl[..., k], J.T, atol=1e-12)

@@ -136,3 +136,30 @@ def test_zip_reader_fallback(model, torch_ckpt, monkeypatch):
     for key in ref["model"]:
         np.testing.assert_allclose(raw["model"][key], ref["model"][key], atol=0)
     np.testing.assert_allclose(np.asarray(raw["mean"]), ref["mean"], atol=0)
+
+
+def test_net_value_bl_matches_per_sample(model, torch_ckpt):
+    path, _ = torch_ckpt
+    nss = ss.NetSafeSet(model, checkpoint=path)
+    rng = np.random.default_rng(31)
+    K = 6
+    X = jnp.asarray(rng.uniform(-1, 1, (model.nx, K)))
+    out_bl = nss.value_bl(X, nss.cfg.alpha)                   # (1, K)
+    for k in range(K):
+        np.testing.assert_allclose(out_bl[0, k],
+                                   nss.value(X[:, k], nss.cfg.alpha),
+                                   atol=1e-11)
+
+
+def test_analytic_value_bl_matches_per_sample(model):
+    aset = ss.AnalyticSafeSet(model)
+    rng = np.random.default_rng(32)
+    K = 5
+    q = rng.uniform(model.x_min[: model.nq], model.x_max[: model.nq],
+                    (K, model.nq))
+    v = 0.5 * rng.uniform(-1, 1, (K, model.nq))
+    X = jnp.concatenate([jnp.asarray(q), jnp.asarray(v)], axis=1).T
+    out_bl = aset.value_bl(X)                                 # (ns, K)
+    for k in range(K):
+        np.testing.assert_allclose(out_bl[:, k], aset.value(X[:, k]),
+                                   atol=1e-11)
