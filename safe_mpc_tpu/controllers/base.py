@@ -33,7 +33,8 @@ from ..config import SafeMpcConfig
 from ..models.manipulator import ManipulatorModel
 from ..models.safeset import create_safe_set
 from ..ops.qp import solve_qp
-from ..ops.sqp import SolveResult, rti_step, sqp_solve
+from ..ops.sqp import (SolveResult, rti_step, rti_step_batched, sqp_solve,
+                       sqp_solve_batched)
 from ..ops.transcribe import NodeSchedule, OcpSpec
 
 
@@ -168,6 +169,17 @@ class MPCController:
         return sqp_solve(self.spec, state.xg, state.ug, x, sched,
                          max_iters=self.rti_iters, qp_iters=self.qp_iters)
 
+    def solve_batched(self, states: ControllerState, xs, scheds) -> SolveResult:
+        """Whole-batch solve on the batch-last pipeline (`rti_step_batched`
+        / `sqp_solve_batched`); `scheds` carries a leading batch axis (one
+        schedule per problem — receding indices etc. diverge freely)."""
+        if self.rti_iters <= 1:
+            return rti_step_batched(self.spec, states.xg, states.ug, xs,
+                                    scheds, qp_iters=self.qp_iters)
+        return sqp_solve_batched(self.spec, states.xg, states.ug, xs, scheds,
+                                 max_iters=self.rti_iters,
+                                 qp_iters=self.qp_iters)
+
     def check_state_traj(self, xs) -> jax.Array:
         """Reference checkStateConstraints on a trajectory: bounds on all
         nodes, collision on node 0 only (see module docstring)."""
@@ -214,10 +226,10 @@ class MPCController:
         (controller.py:278-283)."""
         return res.status == 0
 
-    def step(self, state: ControllerState, x) -> StepResult:
-        state = self.guess_correction(state)
-        sched = self.schedule(state)
-        res = self.solve(state, x, sched)
+    def _post_step(self, state: ControllerState, sched,
+                   res: SolveResult) -> StepResult:
+        """Per-problem tick logic after the solve (acceptance, counters,
+        warm-start shift) — shared by `step` and `step_batched`."""
         ok = self._accept(state, res)
         fails = jnp.where(ok, 0, state.fails + 1).astype(jnp.int32)
         state = dataclasses.replace(state, fails=fails,
@@ -226,6 +238,23 @@ class MPCController:
         u, state = self.provide_control(state, res, fails == 0)
         return StepResult(u=u, abort=jnp.asarray(False), state=state,
                           status=res.status, x_temp=res.xs, u_temp=res.us)
+
+    def step(self, state: ControllerState, x) -> StepResult:
+        state = self.guess_correction(state)
+        sched = self.schedule(state)
+        res = self.solve(state, x, sched)
+        return self._post_step(state, sched, res)
+
+    def step_batched(self, states: ControllerState, xs) -> StepResult:
+        """Whole-batch tick: per-problem schedules vmapped from the state
+        machines, ONE lane-packed linearization + QP for the batch, then
+        the per-problem post logic vmapped back over the solution. Exactly
+        equivalent to `vmap(step)` (pinned by tests/test_controllers.py)
+        but ~2-4x faster on TPU — the simulator's hot path."""
+        states = jax.vmap(self.guess_correction)(states)
+        scheds = jax.vmap(self.schedule)(states)
+        res = self.solve_batched(states, xs, scheds)
+        return jax.vmap(self._post_step)(states, scheds, res)
 
 
 class TerminalZeroVelocity(MPCController):
@@ -250,10 +279,8 @@ class STWAController(STController):
     def _accept(self, state, res):
         return jnp.logical_and(res.status == 0, self.check_state_traj(res.xs))
 
-    def step(self, state: ControllerState, x) -> StepResult:
-        state = self.guess_correction(state)
-        sched = self.schedule(state)
-        res = self.solve(state, x, sched)
+    def _post_step(self, state: ControllerState, sched,
+                   res: SolveResult) -> StepResult:
         ok = self._accept(state, res)
 
         # on first failure capture x_guess[-2] as viable (controller.py:382)
@@ -318,11 +345,8 @@ class RecedingController(HTWAController):
         best = jnp.max(jnp.where(mask, idx, -1))
         return jnp.where(best >= 0, best - 1, r).astype(jnp.int32)
 
-    def step(self, state: ControllerState, x) -> StepResult:
-        state = self.guess_correction(state)
-        sched = self.schedule(state)
-        res = self.solve(state, x, sched)
-
+    def _post_step(self, state: ControllerState, sched,
+                   res: SolveResult) -> StepResult:
         abort_flag = self.cfg.abort_flag
         r = state.r - 1 if abort_flag else jnp.maximum(state.r - 1, 0)
         r = r.astype(jnp.int32)
@@ -398,14 +422,14 @@ class ParallelController(RecedingController):
             safe_soft=jnp.zeros(N + 1, dtype),
             safe_zl=jnp.zeros(N + 1, dtype), safe_zu=jnp.zeros(N + 1, dtype))
 
-    def step(self, state: ControllerState, x) -> StepResult:
-        state = self.guess_correction(state)
+    def _post_parallel(self, state: ControllerState, ress: SolveResult,
+                       scheds) -> StepResult:
+        """Candidate scoring + selection + state machine, per problem;
+        `ress`/`scheds` carry a leading candidate axis (n = N..1)."""
         N = self.N
         cands = jnp.arange(N, 0, -1)                  # n = N..1
 
-        def solve_n(n):
-            sched = self._schedule_for_n(state, n)
-            res = self.solve(state, x, sched)
+        def score(n, res, sched):
             safe_ok = self.check_safe_nodes(res.xs, sched)
             idx = jnp.arange(N + 1)
             mask = jnp.logical_and(idx >= state.r, safe_ok)
@@ -415,9 +439,9 @@ class ParallelController(RecedingController):
             success = jnp.logical_and(
                 jnp.logical_and(res.status == 0, cv - state.r >= 0),
                 self.check_state_traj(res.xs))
-            return jnp.where(success, cv, 0).astype(jnp.int32), res
+            return jnp.where(success, cv, 0).astype(jnp.int32)
 
-        results, ress = jax.vmap(solve_n)(cands)
+        results = jax.vmap(score)(cands, ress, scheds)
         best_i = jnp.argmax(results)                  # ties -> largest n
         node_success = results[best_i]
         res = jax.tree.map(lambda a: a[best_i], ress)
@@ -439,6 +463,34 @@ class ParallelController(RecedingController):
         u = jnp.where(abort, state.ug[0], u)
         return StepResult(u=u, abort=abort, state=state_out,
                           status=res.status, x_temp=res.xs, u_temp=res.us)
+
+    def step(self, state: ControllerState, x) -> StepResult:
+        state = self.guess_correction(state)
+        cands = jnp.arange(self.N, 0, -1)             # n = N..1
+        scheds = jax.vmap(lambda n: self._schedule_for_n(state, n))(cands)
+        ress = jax.vmap(lambda sched: self.solve(state, x, sched))(scheds)
+        return self._post_parallel(state, ress, scheds)
+
+    def step_batched(self, states: ControllerState, xs) -> StepResult:
+        """All B problems x N candidate nodes as ONE lane-packed QP batch
+        of size B*N — the full realization of the algorithm's parallelism
+        (the reference runs the N candidate solves serially per problem,
+        controller.py:598-612)."""
+        states = jax.vmap(self.guess_correction)(states)
+        B, Nc = xs.shape[0], self.N
+        cands = jnp.arange(Nc, 0, -1)
+        scheds = jax.vmap(lambda s: jax.vmap(
+            lambda n: self._schedule_for_n(s, n))(cands))(states)
+        flat = lambda a: a.reshape((B * Nc,) + a.shape[2:])
+        scheds_f = jax.tree.map(flat, scheds)
+        states_f = jax.tree.map(lambda a: jnp.repeat(a, Nc, axis=0), states)
+        xs_f = jnp.repeat(xs, Nc, axis=0)
+        res_f = self.solve_batched(states_f, xs_f, scheds_f)
+        unflat = lambda a: a.reshape((B, Nc) + a.shape[1:])
+        ress = jax.tree.map(unflat, res_f)
+        scheds_c = jax.tree.map(lambda a: a.reshape((B, Nc) + a.shape[2:]),
+                                scheds)
+        return jax.vmap(self._post_parallel)(states, ress, scheds_c)
 
 
 class SafeSetEverywhere(STController):
@@ -483,3 +535,15 @@ class SafeBackupController(MPCController):
         sched = self.schedule(self.initial_state(x_viable))
         return sqp_solve(self.spec, xg, ug, x_viable, sched,
                          max_iters=max_iters, qp_iters=self.qp_iters)
+
+    def solve_backup_batched(self, x_viables, max_iters: int = 20):
+        """Whole-batch braking solves on the batch-last SQP (same cold
+        start and budget as :meth:`solve_backup`, pinned by tests)."""
+        B = x_viables.shape[0]
+        N = self.N
+        xg = jnp.tile(x_viables[:, None], (1, N + 1, 1))
+        ug = jnp.zeros((B, N, self.model.nu), x_viables.dtype)
+        scheds = jax.vmap(
+            lambda x: self.schedule(self.initial_state(x)))(x_viables)
+        return sqp_solve_batched(self.spec, xg, ug, x_viables, scheds,
+                                 max_iters=max_iters, qp_iters=self.qp_iters)

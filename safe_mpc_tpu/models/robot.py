@@ -401,8 +401,16 @@ class RobotModel:
         q (nq, K) -> order=1: (M (nq,nq,K), dM (nq,nq,nq,K), gU (nq,K));
         order=2 additionally (ddM (nq,nq,nq,nq,K), HU (nq,nq,K)) in the
         order (M, dM, ddM, gU, HU). Same recursions as
-        :meth:`_kin_derivatives`, batch minor."""
+        :meth:`_kin_derivatives`, batch minor.
+
+        Contractions use :func:`~safe_mpc_tpu.utils.lanes.ms` (broadcast
+        mul + leading-axis sum) instead of einsum: einsum's dot_general
+        lowering makes the shared lane axis a dot BATCH dim, which XLA
+        lays out major — each (nq^4, K) intermediate then pads 41x
+        (measured: 1.27 GB for 32 MB, OOM on a 16 GB chip)."""
         assert self._all_revolute, "closed-form stack needs revolute joints"
+        from ..utils.lanes import ms
+
         params = self.default_params if params is None else params
         dtype = q.dtype
         if poses is None:
@@ -412,8 +420,7 @@ class RobotModel:
         S = jnp.asarray(self._strict_anc, dtype)      # (nq_i, nq_k)
         Cb = jnp.asarray(self._body_anc, dtype)       # (nb, nq)
         m = params.mass.astype(dtype)
-        Iw = jnp.einsum("bxyk,byz,bwzk->bxwk", Rb,
-                        params.inertia.astype(dtype), Rb)
+        Iw = ms("bxy,byz,bwz->bxw", Rb, params.inertia.astype(dtype), Rb)
 
         def cr(x, y):
             return jnp.cross(x, y, axisa=-2, axisb=-2, axisc=-2)
@@ -427,23 +434,22 @@ class RobotModel:
         Jw = Cb[:, :, None, None] * a[None]
         A_hat = _hat_bl(a)                             # (nq, 3, 3, K)
         dIw = Cb[:, :, None, None, None] * (
-            jnp.einsum("kxyt,byzt->bkxzt", A_hat, Iw)
-            - jnp.einsum("bxyt,kyzt->bkxzt", Iw, A_hat))
+            ms("kxy,byz->bkxz", A_hat, Iw) - ms("bxy,kyz->bkxz", Iw, A_hat))
 
         ddpb = Cb[:, :, None, None, None] * (
             cr(da[None], d_bp[:, :, None])
             + cr(a[None, :, None], dpb[:, None] - dp[None]))
         dJw = Cb[:, :, None, None, None] * da[None]    # (b, p, k, 3, K)
 
-        M = jnp.einsum("b,bpxt,bqxt->pqt", m, dpb, dpb) \
-            + jnp.einsum("bpxt,bxyt,bqyt->pqt", Jw, Iw, Jw)
-        gU = GRAVITY * jnp.einsum("b,bkt->kt", m, dpb[:, :, 2])
+        M = ms("b,bpx,bqx->pq", m, dpb, dpb) \
+            + ms("bpx,bxy,bqy->pq", Jw, Iw, Jw)
+        gU = GRAVITY * ms("b,bk->k", m, dpb[:, :, 2])
 
-        dM_lin = jnp.einsum("b,bpkxt,bqxt->pqkt", m, ddpb, dpb)
+        dM_lin = ms("b,bpkx,bqx->pqk", m, ddpb, dpb)
         dM = (dM_lin + jnp.swapaxes(dM_lin, 0, 1)
-              + jnp.einsum("bpkxt,bxyt,bqyt->pqkt", dJw, Iw, Jw)
-              + jnp.einsum("bpxt,bkxyt,bqyt->pqkt", Jw, dIw, Jw)
-              + jnp.einsum("bpxt,bxyt,bqkyt->pqkt", Jw, Iw, dJw))
+              + ms("bpkx,bxy,bqy->pqk", dJw, Iw, Jw)
+              + ms("bpx,bkxy,bqy->pqk", Jw, dIw, Jw)
+              + ms("bpx,bxy,bqky->pqk", Jw, Iw, dJw))
         if order == 1:
             return M, dM, gU
 
@@ -455,10 +461,10 @@ class RobotModel:
             + cr(a[None, :, None], dp[:, None] - dp[None]))
         dda_hat = _hat_bl(da)                          # (k, l, 3, 3, K)
         ddIw = Cb[:, :, None, None, None, None] * (
-            jnp.einsum("klxyt,byzt->bklxzt", dda_hat, Iw)
-            - jnp.einsum("bxyt,klyzt->bklxzt", Iw, dda_hat)
-            + jnp.einsum("kxyt,blyzt->bklxzt", A_hat, dIw)
-            - jnp.einsum("blxyt,kyzt->bklxzt", dIw, A_hat))
+            ms("klxy,byz->bklxz", dda_hat, Iw)
+            - ms("bxy,klyz->bklxz", Iw, dda_hat)
+            + ms("kxy,blyz->bklxz", A_hat, dIw)
+            - ms("blxy,kyz->bklxz", dIw, A_hat))
         dddpb = Cb[:, :, None, None, None, None] * (
             cr(dda[None], d_bp[:, :, None, None])
             + cr(da[None, :, :, None],
@@ -468,15 +474,15 @@ class RobotModel:
             + cr(a[None, :, None, None], ddpb[:, None] - ddp[None]))
         ddJw = Cb[:, :, None, None, None, None] * dda[None]
 
-        A2 = jnp.einsum("bpkxt,blxyt,bqyt->pqklt", dJw, dIw, Jw)
-        half = (jnp.einsum("b,bpklxt,bqxt->pqklt", m, dddpb, dpb)
-                + jnp.einsum("b,bpkxt,bqlxt->pqklt", m, ddpb, ddpb)
-                + jnp.einsum("bpklxt,bxyt,bqyt->pqklt", ddJw, Iw, Jw)
+        A2 = ms("bpkx,blxy,bqy->pqkl", dJw, dIw, Jw)
+        half = (ms("b,bpklx,bqx->pqkl", m, dddpb, dpb)
+                + ms("b,bpkx,bqlx->pqkl", m, ddpb, ddpb)
+                + ms("bpklx,bxy,bqy->pqkl", ddJw, Iw, Jw)
                 + A2 + jnp.swapaxes(A2, 2, 3)
-                + jnp.einsum("bpkxt,bxyt,bqlyt->pqklt", dJw, Iw, dJw)
-                + 0.5 * jnp.einsum("bpxt,bklxyt,bqyt->pqklt", Jw, ddIw, Jw))
+                + ms("bpkx,bxy,bqly->pqkl", dJw, Iw, dJw)
+                + 0.5 * ms("bpx,bklxy,bqy->pqkl", Jw, ddIw, Jw))
         ddM = half + jnp.transpose(half, (1, 0, 2, 3, 4))
-        HU = GRAVITY * jnp.einsum("b,bklt->klt", m, ddpb[:, :, :, 2])
+        HU = GRAVITY * ms("b,bkl->kl", m, ddpb[:, :, :, 2])
         return M, dM, ddM, gU, HU
 
     def dynamics_derivative_stack(self, q, params: InertialParams | None = None):

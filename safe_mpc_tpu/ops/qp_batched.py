@@ -162,37 +162,54 @@ def solve_qp_batched(data: QPData, iters: int = 20, mu0: float = 1e2,
     manipulator OCP, whose double-integrator dynamics depend only on dt
     (transcribe.py). Batches with heterogeneous dynamics must use the
     vmapped `solve_qp`."""
-    Bn = data.h.shape[0]
-    N = data.R.shape[1]
-    m = data.h.shape[-1]
+    bl = lambda a: jnp.moveaxis(a, 0, -1)
+    datab = QPDataBL(
+        A=data.A[0], B=data.B[0],   # constant across problems (see docstring)
+        c=bl(data.c), dx0=bl(data.dx0), Q=bl(data.Q), q=bl(data.q),
+        R=bl(data.R), r=bl(data.r), Cx=bl(data.Cx), Cu=bl(data.Cu),
+        h=bl(data.h), lo=bl(data.lo), up=bl(data.up),
+        active=bl(data.active), soft=bl(data.soft),
+        zl=bl(data.zl), zu=bl(data.zu), Zl=bl(data.Zl), Zu=bl(data.Zu))
+    return solve_qp_bl(datab, iters=iters, mu0=mu0, mu_decay=mu_decay,
+                       mu_min=mu_min, ftb=ftb, hard_tol=hard_tol,
+                       riccati=riccati)
+
+
+def solve_qp_bl(data: QPDataBL, iters: int = 20, mu0: float = 1e2,
+                mu_decay: float = 0.45, mu_min: float = 1e-9,
+                ftb: float = 0.995, hard_tol: float = 1e-6,
+                riccati: str = "jnp") -> QPSolution:
+    """Batch-last core of the interior-point solver: consumes a
+    :class:`QPDataBL` (lane-minor layout, e.g. from
+    ``OcpSpec.transcribe_bl``) with no entry transposes. Returns a
+    batch-LEADING :class:`QPSolution` (dx (B, N+1, nx), ...) — only the
+    four solution tensors are transposed back, not the 19 data fields."""
+    Bn = data.h.shape[-1]
+    N = data.R.shape[0]
+    m = data.h.shape[1]
     dtype = data.h.dtype
     if dtype == jnp.float32:
         mu_min = max(mu_min, 1e-6)
         hard_tol = max(hard_tol, 3e-4)
 
-    # ---- transpose to batch-last
-    def bl(a, spec):
-        # move axis 0 (batch) to the end
-        return jnp.moveaxis(a, 0, -1)
+    A = data.A
+    Bm = data.B
+    c = data.c                      # (N, nx, B)
+    dx0 = data.dx0                  # (nx, B)
+    Q = data.Q                      # (N+1, nx, nx, B)
+    q = data.q
+    R = data.R
+    r = data.r
+    Cx = data.Cx                    # (N+1, m, nx, B)
+    Cu = data.Cu                    # (N, m, nu, B)
+    act = data.active               # (N+1, m, B)
+    soft = data.soft * act
+    zl, zu = data.zl, data.zu
+    Zl, Zu = data.Zl, data.Zu
 
-    A = data.A[0]        # constant across problems by construction
-    Bm = data.B[0]
-    c = bl(data.c, None)            # (N, nx, B)
-    dx0 = bl(data.dx0, None)        # (nx, B)
-    Q = bl(data.Q, None)            # (N+1, nx, nx, B)
-    q = bl(data.q, None)
-    R = bl(data.R, None)
-    r = bl(data.r, None)
-    Cx = bl(data.Cx, None)          # (N+1, m, nx, B)
-    Cu = bl(data.Cu, None)          # (N, m, nu, B)
-    act = bl(data.active, None)     # (N+1, m, B)
-    soft = bl(data.soft, None) * act
-    zl, zu = bl(data.zl, None), bl(data.zu, None)
-    Zl, Zu = bl(data.Zl, None), bl(data.Zu, None)
-
-    h = jnp.where(act > 0, bl(data.h, None), 0.0)
-    lo = jnp.where(act > 0, bl(data.lo, None), -1.0)
-    up = jnp.where(act > 0, bl(data.up, None), 1.0)
+    h = jnp.where(act > 0, data.h, 0.0)
+    lo = jnp.where(act > 0, data.lo, -1.0)
+    up = jnp.where(act > 0, data.up, 1.0)
     Cx = Cx * act[:, :, None]
     Cu_full = jnp.concatenate([Cu, jnp.zeros_like(Cu[:1])], axis=0) \
         * act[:, :, None]

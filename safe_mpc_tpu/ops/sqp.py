@@ -50,21 +50,96 @@ def rti_step(spec: OcpSpec, xg, ug, x0, schedule: NodeSchedule,
 
 def rti_step_batched(spec: OcpSpec, xgs, ugs, x0s, schedule: NodeSchedule,
                      qp_iters: int = 20) -> SolveResult:
-    """Whole-batch RTI step using the batch-major QP solver
-    (`ops.qp_batched`): linearization vmapped, the QP solved with the
-    problem batch in the lane dimension — the TPU-throughput entry point.
-    `schedule` is shared across the batch (vmap controller.step instead
-    when schedules diverge per problem)."""
-    from .qp_batched import solve_qp_batched
+    """Whole-batch RTI step, fully batch-last: `transcribe_bl` linearizes
+    all B*(N+1) nodes as one lane-packed program and `solve_qp_bl`
+    consumes the QPDataBL with no layout changes — the TPU-throughput
+    entry point. `schedule` may be shared (unbatched leaves, broadcast
+    inside) or per-problem (leading B axis, e.g. vmapped
+    ``controller.schedule``) — receding/parallel variants batch too."""
+    from .qp_batched import solve_qp_bl
 
-    data = jax.vmap(
-        lambda xg, ug, x0: spec.transcribe(xg, ug, x0, schedule))(
-        xgs, ugs, x0s)
-    sol = solve_qp_batched(data, iters=qp_iters)
+    datab = spec.transcribe_bl(xgs, ugs, x0s, schedule)
+    sol = solve_qp_bl(datab, iters=qp_iters)
     B = xgs.shape[0]
     return SolveResult(xs=xgs + sol.dx, us=ugs + sol.du, status=sol.status,
                        qp_viol=sol.hard_violation,
                        iters=jnp.ones((B,), jnp.int32))
+
+
+def sqp_solve_batched(spec: OcpSpec, xg, ug, x0, schedule: NodeSchedule,
+                      max_iters: int = 50, qp_iters: int = 25,
+                      tol: float = 1e-6, merit_rho: float = 1e4,
+                      ls_steps: int = 8) -> SolveResult:
+    """Whole-batch full SQP with per-problem L1-merit backtracking.
+
+    Batched counterpart of :func:`sqp_solve` on the batch-last pipeline:
+    each iteration transcribes + solves all problems in one lane-packed
+    program, then evaluates ALL line-search candidates for ALL problems as
+    one `merit_terms_bl` batch of size ls_steps*B. Per-problem convergence
+    freezing, step acceptance and final feasibility verdicts match
+    `sqp_solve` semantics (pinned by tests/test_sqp.py).
+    """
+    from .qp_batched import solve_qp_bl
+
+    dtype = xg.dtype
+    B = xg.shape[0]
+    if dtype == jnp.float32:
+        tol = max(tol, 1e-4)
+    if schedule.safe_active.ndim == 1:
+        schedule = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape), schedule)
+
+    def merit(xs, us, sched):
+        cost, hard, soft_pen, dyn = spec.merit_terms_bl(xs, us, sched)
+        return cost + soft_pen + merit_rho * (hard + dyn)
+
+    alphas = 0.5 ** jnp.arange(ls_steps, dtype=dtype)
+    sched_ls = jax.tree.map(
+        lambda a: jnp.tile(a, (ls_steps,) + (1,) * (a.ndim - 1)), schedule)
+
+    def iteration(carry, _):
+        xs, us, done, n_used, last_status = carry
+        datab = spec.transcribe_bl(xs, us, x0, schedule)
+        sol = solve_qp_bl(datab, iters=qp_iters)
+
+        m0 = merit(xs, us, schedule)                         # (B,)
+        xs_c = (xs[None] + alphas[:, None, None, None] * sol.dx[None]) \
+            .reshape((ls_steps * B,) + xs.shape[1:])
+        us_c = (us[None] + alphas[:, None, None, None] * sol.du[None]) \
+            .reshape((ls_steps * B,) + us.shape[1:])
+        merits = merit(xs_c, us_c, sched_ls).reshape(ls_steps, B)
+        best = jnp.argmin(merits, axis=0)                    # (B,)
+        m_best = jnp.take_along_axis(merits, best[None], axis=0)[0]
+        alpha = jnp.where(m_best < m0, alphas[best], alphas[-1])
+
+        step_norm = jnp.maximum(jnp.max(jnp.abs(sol.dx), axis=(1, 2)),
+                                jnp.max(jnp.abs(sol.du), axis=(1, 2)))
+        converged = step_norm < tol
+
+        take = (~done)[:, None, None]
+        xs_new = jnp.where(take, xs + alpha[:, None, None] * sol.dx, xs)
+        us_new = jnp.where(take, us + alpha[:, None, None] * sol.du, us)
+        n_used = n_used + jnp.where(done, 0, 1).astype(jnp.int32)
+        status_new = jnp.where(done, last_status, sol.status)
+        done_new = jnp.logical_or(done, converged)
+        return (xs_new, us_new, done_new, n_used, status_new), None
+
+    init = (xg, ug, jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.int32))
+    (xs, us, done, n_used, status), _ = jax.lax.scan(
+        iteration, init, None, length=max_iters)
+
+    # final feasibility verdict (same dtype-aware thresholds as sqp_solve)
+    _, hard, _, dyn = spec.merit_terms_bl(xs, us, schedule)
+    n_dyn = xs.shape[-2] * xs.shape[-1]
+    if dtype == jnp.float32:
+        hard_thr, dyn_thr = 1e-3, 3e-5 * n_dyn
+    else:
+        hard_thr, dyn_thr = 1e-4, 1e-5
+    bad = jnp.logical_or(hard > hard_thr, dyn > dyn_thr)
+    status = jnp.where(bad, 4, status).astype(jnp.int32)
+    return SolveResult(xs=xs, us=us, status=status, qp_viol=hard,
+                       iters=n_used)
 
 
 def sqp_solve(spec: OcpSpec, xg, ug, x0, schedule: NodeSchedule,

@@ -346,6 +346,292 @@ class OcpSpec:
             Zl=jnp.zeros((N + 1, m), dtype), Zu=jnp.zeros((N + 1, m), dtype),
         )
 
+    # ------------------------------------------------------- batch-last path
+
+    def transcribe_bl(self, xg, ug, x0, schedule: NodeSchedule):
+        """Batched batch-last transcription: the TPU-throughput hot path.
+
+        xg (B, N+1, nx), ug (B, N, nu), x0 (B, nx); `schedule` carries a
+        leading batch axis on every leaf (vmap each controller's
+        ``schedule(state)`` over states; a shared schedule broadcasts).
+        Returns a :class:`~safe_mpc_tpu.ops.qp_batched.QPDataBL`.
+
+        All K = B*(N+1) node states are linearized as ONE batch-last
+        program: the kinematic/derivative tensors keep K in the minor
+        (lane) axis, so the 5x5-scale contractions fill the VPU lanes
+        instead of padding each problem's tiny tensors to (8, 128) tiles —
+        the layout bound that kept the vmapped `transcribe` HBM-limited.
+        Same math as :meth:`transcribe` with fast=True (pinned by
+        tests/test_transcribe_bl.py).
+        """
+        from .qp_batched import QPDataBL
+
+        model = self.model
+        N, nx, nu, m, nq = self.N, self.nx, self.nu, self.m, model.nq
+        B = xg.shape[0]
+        N1 = N + 1
+        K = B * N1
+        dtype = xg.dtype
+
+        if schedule.safe_active.ndim == 1:       # shared -> broadcast
+            schedule = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (B,) + a.shape), schedule)
+
+        X = xg.reshape(K, nx).T                              # (nx, K)
+        ug_full = jnp.concatenate(
+            [ug, jnp.zeros_like(ug[:, :1])], axis=1)         # (B, N1, nu)
+        U = ug_full.reshape(K, nu).T                         # (nu, K)
+        v_ = X[nq:]
+        poses = model.robot.joint_poses_bl(X[:nq])
+
+        # ---- torque rows (closed-form (M, dM, ddM, gU, HU) contractions,
+        # same identities as _node_structured)
+        M, dM, ddM, gU, HU = model.robot.kin_derivatives_bl(
+            X[:nq], order=2, poses=poses)
+        Mdot = jnp.einsum("ijkt,kt->ijt", dM, v_)
+        tau = (jnp.einsum("ijt,jt->it", M, U)
+               + jnp.einsum("ijt,jt->it", Mdot, v_)
+               - 0.5 * jnp.einsum("jt,jkit,kt->it", v_, dM, v_) + gU)
+        dtau_dq = (jnp.einsum("ijlt,jt->ilt", dM, U)
+                   + jnp.einsum("ijklt,kt,jt->ilt", ddM, v_, v_)
+                   - 0.5 * jnp.einsum("jt,jkilt,kt->ilt", v_, ddM, v_) + HU)
+        dtau_dv = (jnp.einsum("ijlt,jt->ilt", dM, v_) + Mdot
+                   - jnp.einsum("lkit,kt->ilt", dM, v_))
+        Cx_tau = jnp.concatenate([dtau_dq, dtau_dv], axis=1)  # (nq, nx, K)
+
+        # ---- collision rows
+        if self.nc:
+            col_vals, col_Jq = model.collision_linearize_bl(X, poses)
+            Cx_col = jnp.concatenate(
+                [col_Jq, jnp.zeros((self.nc, nq, K), dtype)], axis=1)
+        else:
+            col_vals = jnp.zeros((0, K), dtype)
+            Cx_col = jnp.zeros((0, nx, K), dtype)
+
+        # ---- safe rows (linearize once, replay nx basis tangents; every
+        # replay is itself a lane-packed batch-last program)
+        if self.ns:
+            alpha_K = jnp.repeat(schedule.alpha, N1)          # (K,)
+            sval, slin = jax.linearize(
+                lambda XX: self.safe_set.value_bl(XX, alpha_K), X)
+            basis = jnp.eye(nx, dtype=dtype)
+            Cx_safe = jax.vmap(lambda e: slin(
+                jnp.broadcast_to(e[:, None], X.shape)))(basis)  # (nx, ns, K)
+            Cx_safe = jnp.moveaxis(Cx_safe, 0, 1)               # (ns, nx, K)
+        else:
+            sval = jnp.zeros((0, K), dtype)
+            Cx_safe = jnp.zeros((0, nx, K), dtype)
+
+        # ---- assemble rows [box | tau | col | safe]
+        val = jnp.concatenate([X, tau, col_vals, sval])       # (m, K)
+        eye_x = jnp.broadcast_to(jnp.eye(nx, dtype=dtype)[:, :, None],
+                                 (nx, nx, K))
+        Cx = jnp.concatenate([eye_x, Cx_tau, Cx_col, Cx_safe])  # (m, nx, K)
+        Cu = jnp.concatenate([
+            jnp.zeros((nx, nu, K), dtype), M,
+            jnp.zeros((self.nc + self.ns, nu, K), dtype)])      # (m, nu, K)
+
+        # ---- cost
+        if self.cost_scaling == "dt":
+            scales = jnp.concatenate([
+                jnp.full(N, model.dt, dtype), jnp.ones(1, dtype)])
+        else:
+            scales = jnp.ones(N1, dtype)
+        sc = jnp.tile(scales, B)                              # (K,)
+        if self.zero_cost or self.vel_penalty > 0:
+            if self.vel_penalty > 0:
+                wq = jnp.concatenate([jnp.full(nq, 1e-4, dtype),
+                                      jnp.full(nq, self.vel_penalty, dtype)])
+                Qx = (2.0 * sc)[None, None] \
+                    * (wq[:, None] * jnp.eye(nx, dtype=dtype))[:, :, None]
+                qx = 2.0 * sc * wq[:, None] * X
+            else:
+                Qx = jnp.zeros((nx, nx, K), dtype)
+                qx = jnp.zeros((nx, K), dtype)
+            Ru = (2.0 * sc * self.R_w)[None, None] \
+                * jnp.eye(nu, dtype=dtype)[:, :, None]
+            ru = 2.0 * sc * self.R_w * U
+            if self.zero_cost:
+                Ru, ru = jnp.zeros_like(Ru), jnp.zeros_like(ru)
+        else:
+            ee_anc = model.robot.frame_support(model.ee_frame)[0]
+            Rf, pf = model.robot.frame_pose_from_bl(poses, model.ee_frame)
+            ee = pf + jnp.einsum("xyk,y->xk", Rf,
+                                 jnp.asarray(model.ee_offset, dtype))
+            Jee_q = model.robot.point_jacobian_bl(poses, ee_anc, ee)
+            Jee = jnp.concatenate(
+                [Jee_q, jnp.zeros((nq, 3, K), dtype)])        # (nx, 3, K)
+            P = schedule.p_ee.reshape(K, 3).T                 # (3, K)
+            err = ee - P
+            w = 2.0 * sc * self.Q_w
+            Qx = w[None, None] * jnp.einsum("ixt,jxt->ijt", Jee, Jee)
+            qx = w * jnp.einsum("ixt,xt->it", Jee, err)
+            Ru = (2.0 * sc * self.R_w)[None, None] \
+                * jnp.eye(nu, dtype=dtype)[:, :, None]
+            ru = 2.0 * sc * self.R_w * U
+
+        # ---- fold K -> (N1 leading, B minor)
+        def nodes(a):
+            a = a.reshape(a.shape[:-1] + (B, N1))
+            return jnp.moveaxis(a, -1, 0)                     # (N1, ..., B)
+
+        lm_eye = self.lm * jnp.eye(nx, dtype=dtype)[:, :, None]
+        Q_n = nodes(Qx + lm_eye)
+        q_n = nodes(qx)
+        R_n = nodes(Ru + self.lm * jnp.eye(nu, dtype=dtype)[:, :, None])[:N]
+        r_n = nodes(ru)[:N]
+        Cx_n = nodes(Cx)
+        Cu_n = nodes(Cu)[:N]
+        h_n = nodes(val)
+
+        # ---- dynamics defect (LTI: one einsum, no rollout)
+        A = jnp.asarray(self.A, dtype)
+        Bm = jnp.asarray(self.B, dtype)
+        cdef = (jnp.einsum("ij,bkj->bki", A, xg[:, :N])
+                + jnp.einsum("ij,bkj->bki", Bm, ug) - xg[:, 1:])
+        c = jnp.moveaxis(cdef, 0, -1)                         # (N, nx, B)
+        dx0 = (x0 - xg[:, 0]).T                               # (nx, B)
+
+        lo, up, active, soft, zl, zu = self._row_model_bl(schedule, dtype)
+
+        return QPDataBL(
+            A=A, B=Bm, c=c, dx0=dx0, Q=Q_n, q=q_n, R=R_n, r=r_n,
+            Cx=Cx_n, Cu=Cu_n, h=h_n, lo=lo, up=up,
+            active=active, soft=soft, zl=zl, zu=zu,
+            Zl=jnp.zeros((N1, m, B), dtype), Zu=jnp.zeros((N1, m, B), dtype))
+
+    def _row_model_bl(self, schedule: NodeSchedule, dtype):
+        """Row bounds/activity/slack model (N+1, m, B) from a batched
+        schedule — shared between :meth:`transcribe_bl` and
+        :meth:`merit_terms_bl`."""
+        N1, m, nx, nu = self.N + 1, self.m, self.nx, self.nu
+        B = schedule.safe_active.shape[0]
+
+        def sched_nodes(a):                                   # (B, N1, ...) ->
+            return jnp.moveaxis(a, 0, -1)                     # (N1, ..., B)
+
+        def tile_const(arr):
+            return jnp.broadcast_to(
+                jnp.asarray(arr, dtype)[None, :, None], (N1, len(arr), B))
+
+        lo = jnp.concatenate([
+            sched_nodes(schedule.lbx), tile_const(self.tau_lo),
+            tile_const(self.col_lo), tile_const(self.safe_lo)], axis=1)
+        up = jnp.concatenate([
+            sched_nodes(schedule.ubx), tile_const(self.tau_hi),
+            tile_const(self.col_hi), tile_const(self.safe_hi)], axis=1)
+
+        active = jnp.broadcast_to(
+            jnp.asarray(self._act_template, dtype)[:, :, None], (N1, m, B))
+        soft = jnp.zeros((N1, m, B), dtype)
+        zl = jnp.zeros((N1, m, B), dtype)
+        zu = jnp.zeros((N1, m, B), dtype)
+        if self.ns:
+            n_btc = nx + nu + self.nc
+            sa = schedule.safe_active.T[:, None, :] \
+                * jnp.ones((1, self.ns, 1), dtype)            # (N1, ns, B)
+            sa = sa.at[0].set(0.0)                            # never at node 0
+            active = active.at[:, n_btc:].set(sa)
+            ss = schedule.safe_soft.T[:, None, :] \
+                * jnp.ones((1, self.ns, 1), dtype)
+            soft = soft.at[:, n_btc:].set(ss)
+            zl = zl.at[:, n_btc:].set(schedule.safe_zl.T[:, None, :])
+            zu = zu.at[:, n_btc:].set(schedule.safe_zu.T[:, None, :])
+        return lo, up, active, soft, zl, zu
+
+    def constraint_values_bl(self, X, U, alpha_K, poses=None):
+        """(m, K) stacked row values for batch-last states X (nx, K) and
+        controls U (nu, K) — the order-0 companion of :meth:`transcribe_bl`
+        (box | tau | collision | safe)."""
+        from ..models.manipulator import _BatchLastOps
+
+        model = self.model
+        nq = model.nq
+        v_ = X[nq:]
+        if poses is None:
+            poses = model.robot.joint_poses_bl(X[:nq])
+        M, dM, gU = model.robot.kin_derivatives_bl(X[:nq], order=1,
+                                                   poses=poses)
+        Mdot = jnp.einsum("ijkt,kt->ijt", dM, v_)
+        tau = (jnp.einsum("ijt,jt->it", M, U)
+               + jnp.einsum("ijt,jt->it", Mdot, v_)
+               - 0.5 * jnp.einsum("jt,jkit,kt->it", v_, dM, v_) + gU)
+        parts = [X, tau]
+        if self.nc:
+            ops = _BatchLastOps(model.robot)
+            parts.append(jnp.stack(
+                [r.fn(X, poses, ops) for r in model.collision_rows]))
+        if self.ns:
+            parts.append(self.safe_set.value_bl(X, alpha_K))
+        return jnp.concatenate(parts)
+
+    def merit_terms_bl(self, xs, us, schedule: NodeSchedule):
+        """Per-problem merit ingredients, batch-last evaluated:
+        (cost (B,), hard_l1 (B,), soft_pen (B,), dyn_l1 (B,)).
+
+        Matches :meth:`total_cost` + :meth:`constraint_violation_l1`
+        (pinned by tests) with every nonlinear evaluation — FK, dynamics,
+        collision, safe rows — lane-packed over K = B*(N+1), so a batched
+        SQP line search evaluates ALL problems x candidates in one program.
+        """
+        model = self.model
+        N, nx, nu, nq = self.N, self.nx, self.nu, model.nq
+        B = xs.shape[0]
+        N1 = N + 1
+        K = B * N1
+        dtype = xs.dtype
+        if schedule.safe_active.ndim == 1:
+            schedule = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (B,) + a.shape), schedule)
+
+        X = xs.reshape(K, nx).T
+        us_full = jnp.concatenate(
+            [us, jnp.zeros_like(us[:, :1])], axis=1)          # (B, N1, nu)
+        U = us_full.reshape(K, nu).T
+        alpha_K = jnp.repeat(schedule.alpha, N1)
+        poses = model.robot.joint_poses_bl(X[:nq])
+        val = self.constraint_values_bl(X, U, alpha_K, poses=poses)
+
+        def nodes(a):
+            a = a.reshape(a.shape[:-1] + (B, N1))
+            return jnp.moveaxis(a, -1, 0)                     # (N1, ..., B)
+
+        val_n = nodes(val)                                    # (N1, m, B)
+        lo, up, active, soft, zl, zu = self._row_model_bl(schedule, dtype)
+        viol_lo = jnp.maximum(lo - val_n, 0)
+        viol_up = jnp.maximum(val_n - up, 0)
+        hard = active * (1.0 - soft)
+        soft_m = active * soft
+        hard_l1 = jnp.sum((viol_lo + viol_up) * hard, axis=(0, 1))
+        soft_pen = jnp.sum(zl * viol_lo * soft_m + zu * viol_up * soft_m,
+                           axis=(0, 1))
+
+        A = jnp.asarray(self.A, dtype)
+        Bm = jnp.asarray(self.B, dtype)
+        defect = (jnp.einsum("ij,bkj->bki", A, xs[:, :N])
+                  + jnp.einsum("ij,bkj->bki", Bm, us) - xs[:, 1:])
+        dyn = jnp.sum(jnp.abs(defect), axis=(1, 2))
+
+        # cost (total_cost conventions)
+        dt = model.dt if self.cost_scaling == "dt" else 1.0
+        scales = jnp.concatenate([jnp.full(N, dt, dtype), jnp.ones(1, dtype)])
+        cu = dt * self.R_w * jnp.sum(us * us, axis=(1, 2))
+        if self.zero_cost:
+            cost = jnp.zeros((B,), dtype)
+        elif self.vel_penalty > 0:
+            wq = jnp.concatenate([jnp.full(nq, 1e-4, dtype),
+                                  jnp.full(nq, self.vel_penalty, dtype)])
+            cost = jnp.sum(scales[None] * ((xs * xs) @ wq), axis=1) + cu
+        else:
+            Rf, pf = model.robot.frame_pose_from_bl(poses, model.ee_frame)
+            ee = pf + jnp.einsum("xyk,y->xk", Rf,
+                                 jnp.asarray(model.ee_offset, dtype))
+            P = schedule.p_ee.reshape(K, 3).T
+            sq = jnp.sum((ee - P) ** 2, axis=0)               # (K,)
+            sq_n = nodes(sq)                                  # (N1, B)
+            cost = self.Q_w * jnp.sum(scales[:, None] * sq_n, axis=0) + cu
+        return cost, hard_l1, soft_pen, dyn
+
     # ------------------------------------------------------------ diagnostics
 
     def total_cost(self, xs, us, p_ee):

@@ -176,9 +176,10 @@ class ClosedLoopSim:
             u_ab = jnp.zeros_like(st.x[:, :model.nu])
             can_resume = jnp.zeros(B, bool)
 
-        # controller step runs for problems in MPC mode or resuming
+        # controller step runs for problems in MPC mode or resuming;
+        # step_batched = one lane-packed linearization + QP for the batch
         run_ctrl = jnp.logical_or(in_mpc, jnp.logical_and(in_abort, can_resume))
-        res = jax.vmap(ctrl.step)(st.ctrl, st.x)
+        res = ctrl.step_batched(st.ctrl, st.x)
         ctrl_next = _tree_where_b(run_ctrl, res.state, st.ctrl)
 
         sa_now = jnp.logical_and(run_ctrl, res.abort)
@@ -188,8 +189,7 @@ class ClosedLoopSim:
             xv = jax.vmap(lambda c: c.x_viable)(res.state)
 
             def do_backup(xvs):
-                return jax.vmap(
-                    lambda x: self.backup.solve_backup(x))(xvs)
+                return self.backup.solve_backup_batched(xvs)
 
             def no_backup(xvs):
                 return _dummy_solve(B, self.backup.N, model, xvs.dtype)

@@ -164,3 +164,57 @@ def test_guess_registry_maps_safe_to_htwa(model):
     g = get_guess_controller("receding", model, N=N, rti_iters=40)
     assert type(g).__name__ == "HTWAController"
     assert g.rti_iters == 40
+
+
+# ---------------------------------------------- batched-step equivalence ----
+
+@pytest.mark.parametrize("name", sorted(CONTROLLERS))
+def test_step_batched_matches_vmapped_step(model, x0, name):
+    """step_batched (lane-packed transcribe_bl + solve_qp_bl, per-problem
+    schedules) must reproduce vmap(step) exactly — the equivalence that
+    licenses the simulator's batched hot path."""
+    c = mk(model, name)
+    xs = jnp.stack([x0, x0.at[0].set(0.2), x0.at[1].set(0.5)])
+    sts = jax.vmap(c.initial_state)(xs)
+    # advance two ticks so receding/parallel state machines diverge
+    for _ in range(2):
+        res_v = jax.jit(jax.vmap(c.step))(sts, xs)
+        res_b = jax.jit(c.step_batched)(sts, xs)
+        np.testing.assert_allclose(np.asarray(res_b.u),
+                                   np.asarray(res_v.u), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(res_b.status),
+                                      np.asarray(res_v.status))
+        np.testing.assert_array_equal(np.asarray(res_b.abort),
+                                      np.asarray(res_v.abort))
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5),
+            res_b.state, res_v.state)
+        sts = res_b.state
+
+
+def test_step_batched_rti3_matches_vmapped(model, x0):
+    """Multi-iteration (full SQP) batched step == vmapped step."""
+    c = mk(model, "receding", rti_iters=3)
+    xs = jnp.stack([x0, x0.at[0].set(0.2)])
+    sts = jax.vmap(c.initial_state)(xs)
+    res_v = jax.jit(jax.vmap(c.step))(sts, xs)
+    res_b = jax.jit(c.step_batched)(sts, xs)
+    np.testing.assert_allclose(np.asarray(res_b.u), np.asarray(res_v.u),
+                               atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(res_b.status),
+                                  np.asarray(res_v.status))
+
+
+def test_backup_batched_matches_vmapped(model):
+    bk = SafeBackupController(model, N=N, qp_iters=10)
+    xv = jnp.stack([
+        jnp.zeros(model.nx).at[model.nq:].set(0.3),
+        jnp.zeros(model.nx).at[model.nq:].set(-0.2).at[1].set(0.5)])
+    rb = jax.jit(lambda x: bk.solve_backup_batched(x, max_iters=5))(xv)
+    rv = jax.jit(jax.vmap(lambda x: bk.solve_backup(x, max_iters=5)))(xv)
+    # batch-last reorders float contractions; agreement is algebraic,
+    # not bitwise
+    np.testing.assert_allclose(np.asarray(rb.xs), np.asarray(rv.xs),
+                               atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(rb.status),
+                                  np.asarray(rv.status))
