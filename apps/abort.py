@@ -72,8 +72,6 @@ def main(argv=None):
 
     # splice the abort trajectories into the logs at first-NaN (abort.py:53-64)
     xs_log = np.asarray(data["x"])
-    for k, i in enumerate(range(xv.shape[0])):
-        pass  # splice below only for problems with a NaN tail
     spliced = 0
     vi = list(data.get("viable_idx", []))
     for k, prob in enumerate(vi[: xv.shape[0]]):

@@ -58,7 +58,6 @@ def main(argv=None):
     X, U, failed = {}, {}, {}
     found = []
     for c in CONT_NAMES:
-        use_net = cfg.use_net if c not in ("naive", "zerovel") else cfg.use_net
         path = mpc_path(cfg, c, hor)
         if not os.path.isfile(path):
             print(f"  (skipping {c}: no {path})")

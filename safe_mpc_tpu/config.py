@@ -10,7 +10,7 @@ as not to be reproduced).
 
 Scene geometry (obstacles / capsules / collision pairs) is loaded into
 plain-Python dataclasses here and compiled into static arrays at trace
-time by :mod:`safe_mpc_tpu.models.constraints`.
+time by the scene compiler in :mod:`safe_mpc_tpu.models.manipulator`.
 """
 
 from __future__ import annotations

@@ -303,6 +303,62 @@ class RobotModel:
         Jv, _ = self._point_jacobian(None, anc, point_w, R, p, axes_w)
         return Jv
 
+    def _hessian_masks(self, anc: int, dtype):
+        """(mask_os, mask_s): [k, l] = 1 iff joint k is an ancestor(-or-self
+        / strict ancestor) of joint l with both on the chain to `anc`."""
+        chain = self._chain_mask(anc)
+        both = np.outer(chain, chain)
+        mask_os = self._joint_anc.T * both
+        mask_s = self._strict_anc.T * both
+        return jnp.asarray(mask_os, dtype), jnp.asarray(mask_s, dtype)
+
+    def point_hessian_from(self, poses, anc: int, point_w):
+        """(3, nq, nq) second derivative d^2 point / dq_k dq_l of a world
+        point rigidly attached to the body supported by joint `anc`,
+        closed form (revolute chains).
+
+        Geometric identity: for joints k <= l on the chain (k ancestor-or-
+        self of l, with dp/dq_l = a_l x (p - p_l)),
+            H_kl = (a_k x a_l) x (p - p_l) + a_l x (a_k x (p - p_l)),
+        using da_l/dq_k = a_k x a_l and d(p - p_l)/dq_k = a_k x (p - p_l);
+        H is symmetric in (k, l). Pinned against jacfwd^2 by tests.
+        """
+        assert self._all_revolute, "closed-form point Hessian needs revolute"
+        R, p, a = poses
+        dtype = point_w.dtype
+        if anc < 0:
+            return jnp.zeros((3, self.nq, self.nq), dtype)
+        mask_os, mask_s = self._hessian_masks(anc, dtype)
+        d = point_w[None] - p                            # (l, 3): p - p_l
+        akxal = jnp.cross(a[:, None], a[None, :])        # (k, l, 3)
+        akxd = jnp.cross(a[:, None], d[None, :])         # (k, l, 3)
+        U = jnp.cross(akxal, d[None, :]) \
+            + jnp.cross(a[None, :], akxd)                # (k, l, 3)
+        H = U * mask_os[:, :, None] \
+            + jnp.swapaxes(U * mask_s[:, :, None], 0, 1)
+        return jnp.moveaxis(H, 2, 0)
+
+    def point_hessian_bl(self, poses, anc: int, point_w):
+        """Batch-last :meth:`point_hessian_from`: (nq, nq, 3, K) with
+        [k, l] = d^2(point)/dq_k dq_l."""
+        assert self._all_revolute, "closed-form point Hessian needs revolute"
+        R, p, a = poses                                  # a: (nq, 3, K)
+        dtype = point_w.dtype
+        if anc < 0:
+            return jnp.zeros((self.nq, self.nq, 3) + point_w.shape[-1:],
+                             dtype)
+        mask_os, mask_s = self._hessian_masks(anc, dtype)
+
+        def cr(x, y):
+            return jnp.cross(x, y, axisa=-2, axisb=-2, axisc=-2)
+
+        d = point_w[None] - p                            # (l, 3, K)
+        akxal = cr(a[:, None], a[None, :])               # (k, l, 3, K)
+        akxd = cr(a[:, None], d[None, :])                # (k, l, 3, K)
+        U = cr(akxal, d[None, :]) + cr(a[None, :], akxd)
+        return U * mask_os[:, :, None, None] \
+            + jnp.swapaxes(U * mask_s[:, :, None, None], 0, 1)
+
     # ------------------------------------------------ batch-last kinematics
     #
     # TPU layout note: under `vmap` the problem batch leads, so every tiny

@@ -57,7 +57,8 @@ class OcpSpec:
                  N: int | None = None, Q: float | None = None,
                  R: float | None = None, lm: float | None = None,
                  zero_cost: bool = False, vel_penalty: float = 0.0,
-                 cost_scaling: str = "dt", fast: bool = True):
+                 cost_scaling: str = "dt", fast: bool = True,
+                 cost_type: str | None = None):
         cfg = model.cfg
         self.model = model
         self.safe_set = safe_set
@@ -74,6 +75,16 @@ class OcpSpec:
         # (closed-form point Jacobians + (M, dM, ddM) contractions);
         # fast=False keeps the generic jax.linearize path (test oracle).
         self.fast = fast
+        # 'NLS': Gauss-Newton of the stacked [ee-err; u] residual with
+        # W = diag(Q, R) (cost_definition.py:61-81 — the reference default;
+        # also what its EXT path degrades to, since hessian_approx EXACT is
+        # requested at cost_definition.py:100 but exact_hess_cost is zeroed
+        # at controller.py:109). 'EXT': true exact Hessian — GN plus the
+        # curvature term err . d^2ee/dq^2 (closed-form point Hessian).
+        self.cost_type = str(cost_type if cost_type is not None
+                             else getattr(cfg, "cost_type", "NLS")).upper()
+        if self.cost_type not in ("NLS", "EXT"):
+            raise ValueError(f"unknown cost_type {self.cost_type!r}")
         # SafeBackup objective: velocity penalty (the reference's SafeAbortOCP
         # cost, ocp.py:291-303; mpc.py uses ZeroCost whose zero Hessian is
         # singular — the velocity penalty selects the same braking solutions
@@ -170,6 +181,11 @@ class OcpSpec:
         J = jax.jacfwd(self.model.ee_pos)(x)          # (3, nx); vel cols = 0
         err = ee - p_ee
         Qx = 2.0 * scale * self.Q_w * (J.T @ J)
+        if self.cost_type == "EXT":
+            # exact Hessian: add the residual-curvature term (AD oracle)
+            Hee = jax.jacfwd(jax.jacfwd(self.model.ee_pos))(x)  # (3, nx, nx)
+            Qx = Qx + 2.0 * scale * self.Q_w \
+                * jnp.einsum("d,dij->ij", err, Hee)
         qx = 2.0 * scale * self.Q_w * (J.T @ err)
         Ru = 2.0 * scale * self.R_w * jnp.eye(self.nu, dtype=dtype)
         ru = 2.0 * scale * self.R_w * u
@@ -251,6 +267,10 @@ class OcpSpec:
                 [Jee_q, jnp.zeros((3, nq), dtype)], axis=1)
             err = ee - p_ee
             Qx = 2.0 * scale * self.Q_w * (Jee.T @ Jee)
+            if self.cost_type == "EXT":
+                Hee = model.robot.point_hessian_from(poses, ee_anc, ee)
+                curv = jnp.einsum("d,dkl->kl", err, Hee)     # (nq, nq)
+                Qx = Qx.at[:nq, :nq].add(2.0 * scale * self.Q_w * curv)
             qx = 2.0 * scale * self.Q_w * (Jee.T @ err)
             Ru = 2.0 * scale * self.R_w * jnp.eye(nu, dtype=dtype)
             ru = 2.0 * scale * self.R_w * u
@@ -465,6 +485,11 @@ class OcpSpec:
             err = ee - P
             w = 2.0 * sc * self.Q_w
             Qx = w[None, None] * jnp.einsum("ixt,jxt->ijt", Jee, Jee)
+            if self.cost_type == "EXT":
+                Hee = model.robot.point_hessian_bl(poses, ee_anc, ee)
+                curv = jnp.sum(err[None, None] * Hee, axis=2)  # (nq, nq, K)
+                pad = [(0, nx - nq), (0, nx - nq), (0, 0)]
+                Qx = Qx + w[None, None] * jnp.pad(curv, pad)
             qx = w * jnp.einsum("ixt,xt->it", Jee, err)
             Ru = (2.0 * sc * self.R_w)[None, None] \
                 * jnp.eye(nu, dtype=dtype)[:, :, None]
