@@ -80,8 +80,10 @@ def _riccati_kernel(A_ref, B_ref, c_ref, dx0_ref, Q_ref, q_ref, R_ref,
         PB = jnp.einsum("ijb,jk->ikb", P, Bm)
         Huu = Rk + jnp.einsum("ji,jkb->ikb", Bm, PB)
         if eps:
-            dmax = jnp.max(
-                Huu[jnp.arange(nu), jnp.arange(nu)], axis=0)
+            # diagonal via mask-reduce: 3-D gather doesn't lower on TPU
+            diag = jnp.sum(
+                Huu * jnp.eye(nu, dtype=Huu.dtype)[:, :, None], axis=0)
+            dmax = jnp.max(diag, axis=0)
             Huu = Huu + (eps * dmax)[None, None] \
                 * jnp.eye(nu, dtype=Huu.dtype)[:, :, None]
         Hux = jnp.einsum("jib->ijb", Sk) + jnp.einsum("ji,jkb->ikb", Bm, PA)

@@ -129,7 +129,10 @@ def sqp_solve_batched(spec: OcpSpec, xg, ug, x0, schedule: NodeSchedule,
     (xs, us, done, n_used, status), _ = jax.lax.scan(
         iteration, init, None, length=max_iters)
 
-    # final feasibility verdict (same dtype-aware thresholds as sqp_solve)
+    # final feasibility verdict (same dtype-aware thresholds as sqp_solve);
+    # the verdict is authoritative: a nonlinearly-feasible solution is
+    # status 0 even if the last inner QP hit its iteration cap (its
+    # internal hard_tol is stricter than these thresholds)
     _, hard, _, dyn = spec.merit_terms_bl(xs, us, schedule)
     n_dyn = xs.shape[-2] * xs.shape[-1]
     if dtype == jnp.float32:
@@ -137,7 +140,7 @@ def sqp_solve_batched(spec: OcpSpec, xg, ug, x0, schedule: NodeSchedule,
     else:
         hard_thr, dyn_thr = 1e-4, 1e-5
     bad = jnp.logical_or(hard > hard_thr, dyn > dyn_thr)
-    status = jnp.where(bad, 4, status).astype(jnp.int32)
+    status = jnp.where(bad, 4, 0).astype(jnp.int32)
     return SolveResult(xs=xs, us=us, status=status, qp_viol=hard,
                        iters=n_used)
 
@@ -201,6 +204,7 @@ def sqp_solve(spec: OcpSpec, xg, ug, x0, schedule: NodeSchedule,
     else:
         hard_thr, dyn_thr = 1e-4, 1e-5
     bad = jnp.logical_or(hard > hard_thr, dyn > dyn_thr)
-    status = jnp.where(bad, 4, status).astype(jnp.int32)
+    # verdict is authoritative (see sqp_solve_batched)
+    status = jnp.where(bad, 4, 0).astype(jnp.int32)
     return SolveResult(xs=xs, us=us, status=status, qp_viol=hard,
                        iters=n_used)

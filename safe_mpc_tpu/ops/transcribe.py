@@ -435,8 +435,12 @@ class OcpSpec:
             sval, slin = jax.linearize(
                 lambda XX: self.safe_set.value_bl(XX, alpha_K), X)
             basis = jnp.eye(nx, dtype=dtype)
+            # the * ones_like(X) makes the tangent device-varying under
+            # shard_map (tangents must match the primal's varying spec);
+            # XLA fuses it away
             Cx_safe = jax.vmap(lambda e: slin(
-                jnp.broadcast_to(e[:, None], X.shape)))(basis)  # (nx, ns, K)
+                jnp.broadcast_to(e[:, None], X.shape)
+                * jnp.ones_like(X)))(basis)                     # (nx, ns, K)
             Cx_safe = jnp.moveaxis(Cx_safe, 0, 1)               # (ns, nx, K)
         else:
             sval = jnp.zeros((0, K), dtype)

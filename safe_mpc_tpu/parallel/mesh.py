@@ -23,6 +23,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 BATCH_AXIS = "batch"
 
 
+def _shard_map(f, mesh, in_specs, out_specs):
+    """shard_map with the varying-manual-axes static check disabled: the
+    QP/SQP scans initialize carries from replicated zeros, which the
+    jax>=0.9 vma checker rejects inside shard_map even though the program
+    is valid SPMD (no hidden collectives — the only ones are our explicit
+    psums). check_vma=False (nee check_rep) skips that static analysis."""
+    from jax.experimental.shard_map import shard_map
+
+    try:
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except TypeError:  # older jax
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
@@ -55,33 +71,76 @@ def pad_to_multiple(x0s, n: int):
 def sharded_rti_solver(controller, mesh: Mesh):
     """Jitted batched RTI step with problems sharded over the mesh.
 
-    Returns fn(states, xs) -> (u (B,nu), statuses (B,), fail_count ())
-    where the fail count is a cross-chip reduction (the only collective).
-    """
-    batch_sh = NamedSharding(mesh, P(BATCH_AXIS))
-    rep_sh = NamedSharding(mesh, P())
+    Expressed with `shard_map`: each chip runs the lane-packed
+    `step_batched` program on its local sub-batch (the batch-last layouts
+    reshape (B, N+1, ...) -> lanes, which stays chip-local by
+    construction under shard_map — no resharding XLA would otherwise have
+    to prove away). The fail count is the only collective (one psum).
 
-    def step(states, xs):
-        res = jax.vmap(controller.step)(states, xs)
-        fails = jnp.sum((res.status != 0).astype(jnp.int32))
+    Returns fn(states, xs) -> (u (B,nu), statuses (B,), fail_count ()).
+    """
+    def local(states, xs):
+        res = controller.step_batched(states, xs)
+        fails = jax.lax.psum(
+            jnp.sum((res.status != 0).astype(jnp.int32)), BATCH_AXIS)
         return res.u, res.status, fails
 
-    return jax.jit(step,
-                   in_shardings=(batch_sh, batch_sh),
-                   out_shardings=(batch_sh, batch_sh, rep_sh))
+    fn = _shard_map(local, mesh,
+                    in_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+                    out_specs=(P(BATCH_AXIS), P(BATCH_AXIS), P()))
+    return jax.jit(fn)
 
 
 def sharded_sim_step(sim, mesh: Mesh, plant_params):
     """One batched closed-loop tick sharded over the mesh, returning the
-    new SimState plus replicated failure/abort statistics."""
-    batch_sh = NamedSharding(mesh, P(BATCH_AXIS))
-    rep_sh = NamedSharding(mesh, P())
-
-    def step(st):
-        st2, _ = sim.step(st, plant_params)
-        stats = jnp.stack([jnp.sum(st2.failed.astype(jnp.int32)),
-                           jnp.sum(st2.viable.astype(jnp.int32))])
+    new SimState plus replicated [failed, viable] statistics (psum — the
+    only cross-chip communication; the whole control/abort machinery is
+    chip-local)."""
+    def local(st, params):
+        st2, _ = sim.step(st, params)
+        stats = jax.lax.psum(
+            jnp.stack([jnp.sum(st2.failed.astype(jnp.int32)),
+                       jnp.sum(st2.viable.astype(jnp.int32))]), BATCH_AXIS)
         return st2, stats
 
-    return jax.jit(step, in_shardings=(batch_sh,),
-                   out_shardings=(batch_sh, rep_sh))
+    fn = _shard_map(local, mesh,
+                    in_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+                    out_specs=(P(BATCH_AXIS), P()))
+    return jax.jit(lambda st: fn(st, plant_params))
+
+
+def sharded_episode(sim, mesh: Mesh, plant_params, n_steps: int,
+                    segment: int | None = None):
+    """Full sharded closed-loop episode: `lax.scan` over ticks inside
+    `shard_map` (MPC solve + backup/abort machinery + noisy plant all
+    chip-local), host-chained in `segment`-sized compiled programs (the
+    same program-size bound as `ClosedLoopSim.run`).
+
+    Returns fn(st0) -> (final SimState (sharded), stats (replicated
+    [failed, viable] from the last tick))."""
+    seg = int(segment or n_steps)
+
+    def local(st, params):
+        def tick(s, _):
+            s2, _ = sim.step(s, params)
+            return s2, None
+
+        st, _ = jax.lax.scan(tick, st, None, length=seg)
+        stats = jax.lax.psum(
+            jnp.stack([jnp.sum(st.failed.astype(jnp.int32)),
+                       jnp.sum(st.viable.astype(jnp.int32))]), BATCH_AXIS)
+        return st, stats
+
+    run_seg = jax.jit(_shard_map(local, mesh,
+                                 in_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+                                 out_specs=(P(BATCH_AXIS), P())))
+
+    def run(st):
+        stats = None
+        done = 0
+        while done < n_steps:
+            st, stats = run_seg(st, plant_params)
+            done += seg
+        return st, stats
+
+    return run
