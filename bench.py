@@ -1,6 +1,6 @@
 """Headline benchmark: batched Z1 RTI-MPC solves/s on the local accelerator.
 
-Prints ONE JSON line:
+Default suite prints ONE JSON line:
   {"metric": "rti_solves_per_s", "value": N, "unit": "solves/s",
    "vs_baseline": R}
 
@@ -8,10 +8,16 @@ Baseline (BASELINE.md): the reference's implied serial throughput is one
 acados RTI solve per 5 ms real-time budget = 200 solves/s per CPU core.
 `vs_baseline` is the speedup over that single-core figure.
 
-Config: Z1 5-DOF, horizon N=25, receding-constraint controller with the
-analytic safe set (full constraint stack: joint box + torque + 6 collision
-pairs + safe rows), one RTI iteration per solve — the reference's main
-workload shape (BASELINE.json configs).
+Headline config: Z1 5-DOF, horizon N=25, receding-constraint controller
+with the NN safe set (the flagship experiment's workload: joint box +
+torque + 6 collision pairs + MLP safe rows), one RTI iteration per solve.
+
+Suites (BENCH_SUITE env):
+  headline  (default) one line, the driver contract
+  latency   per-tick p50/p99 latency at B in {1, 8, 64} vs the 5 ms
+            real-time budget (reference config.yaml:7, mpc.py:300-303)
+  matrix    the BASELINE.json config matrix: controller x alpha x horizon,
+            one JSON line per cell + BENCH_MATRIX.json
 """
 
 from __future__ import annotations
@@ -24,81 +30,90 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main():
+def _setup():
     import jax
 
     jax.config.update("jax_default_matmul_precision", "highest")
     backend = jax.default_backend()
     if backend == "cpu":
         jax.config.update("jax_enable_x64", False)  # match TPU numerics path
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "generated", f"xla_cache_bench_{backend}")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return backend
 
-    import jax.numpy as jnp
-    import numpy as np
+
+def _build_step(controller: str, N: int, alpha: float, use_net: bool,
+                qp_iters: int = 15):
+    """One jitted batched RTI tick (linearize + QP) for a config cell."""
+    import dataclasses
+
+    import jax
 
     from safe_mpc_tpu.config import load_config
     from safe_mpc_tpu.controllers.registry import get_controller
     from safe_mpc_tpu.models.manipulator import ManipulatorModel
+    from safe_mpc_tpu.ops.sqp import rti_step_batched
 
-    N = 25
-    # default batch: validated headroom on a single v5e chip (HBM-bound at
-    # ~2048 with the full linearization live set)
-    batch = int(os.environ.get("BENCH_BATCH", "512" if backend != "cpu"
-                               else "128"))
-    reps = int(os.environ.get("BENCH_REPS", "20"))
-
-    cfg = load_config().with_(N=N, use_net=False)
+    cfg = load_config().with_(N=N, use_net=use_net, alpha=alpha)
     model = ManipulatorModel(cfg)
-    ctrl = get_controller("receding", model, N=N, qp_iters=15)
+    ctrl = get_controller(controller, model, N=N, qp_iters=qp_iters)
+    mid = (model.x_min + model.x_max) / 2
 
-    dtype = jnp.float32
-    mid = jnp.asarray((model.x_min + model.x_max) / 2, dtype)
-    # collision-free Halton-sampled rest states (same protocol as the
-    # guess stage) so solver failures reflect the solver, not the sampling
+    import jax.numpy as jnp
+    sched = ctrl.schedule(ctrl.initial_state(jnp.asarray(mid, jnp.float32)))
+
+    def step_fn(states, xs):
+        res = rti_step_batched(ctrl.spec, states.xg, states.ug, xs,
+                               sched, qp_iters=qp_iters)
+        new_states = dataclasses.replace(states, xg=res.xs, ug=res.us)
+        return new_states, res.us[:, 0], res.status
+
+    return model, ctrl, jax.jit(step_fn)
+
+
+def _states_for(model, ctrl, batch, seed_offset=0):
+    import jax
+    import jax.numpy as jnp
+
     from safe_mpc_tpu.tasks.sampling import sample_initial_states
-    x0s = sample_initial_states(model, batch, margin=0.05).astype(dtype)
+
+    x0s = sample_initial_states(model, batch,
+                                seed_offset=seed_offset,
+                                margin=0.05).astype(jnp.float32)
     states = jax.vmap(lambda x: ctrl.initial_state(x))(x0s)
+    return x0s, states
 
-    chunk = int(os.environ.get("BENCH_CHUNK", "0"))
-    mode = os.environ.get("BENCH_MODE", "batched")  # 'batched' | 'vmapped'
 
-    if mode == "batched":
-        # batch-major hot path: vmapped linearization + lane-major QP
-        from safe_mpc_tpu.ops.sqp import rti_step_batched
-
-        sched = ctrl.schedule(ctrl.initial_state(mid))
-
-        def step_fn(states, xs):
-            res = rti_step_batched(ctrl.spec, states.xg, states.ug, xs,
-                                   sched, qp_iters=15)
-            import dataclasses
-            new_states = dataclasses.replace(states, xg=res.xs, ug=res.us)
-            return new_states, res.us[:, 0], res.status
-
-        step = jax.jit(step_fn)
-    else:
-        def one(state, x):
-            res = ctrl.step(state, x)
-            return res.state, res.u, res.status
-
-        if chunk and chunk < batch:
-            from safe_mpc_tpu.utils.batching import chunked_vmap
-            step = jax.jit(chunked_vmap(one, chunk))
-        else:
-            step = jax.jit(jax.vmap(one))
+def _measure(step, states, x0s, reps):
+    """(compile_s, steady wall_s, ok_fraction) for `reps` ticks."""
+    import jax
+    import numpy as np
 
     t0 = time.time()
-    states2, u, status = step(states, x0s)
+    st, u, status = step(states, x0s)
     jax.block_until_ready(u)
     compile_s = time.time() - t0
-
-    # steady-state: repeated solves with evolving state (warm-started RTI)
     t0 = time.time()
-    st = states2
     for _ in range(reps):
         st, u, status = step(st, x0s)
     jax.block_until_ready(u)
     wall = time.time() - t0
+    ok = float(np.mean(np.asarray(status) == 0))
+    return compile_s, wall, ok
 
+
+def suite_headline(backend):
+    N = 25
+    batch = int(os.environ.get("BENCH_BATCH", "512" if backend != "cpu"
+                               else "128"))
+    reps = int(os.environ.get("BENCH_REPS", "20"))
+    use_net = os.environ.get("BENCH_NET", "1") == "1"
+    model, ctrl, step = _build_step("receding", N, 10.0, use_net)
+    x0s, states = _states_for(model, ctrl, batch)
+    compile_s, wall, ok = _measure(step, states, x0s, reps)
     solves_per_s = batch * reps / wall
     result = {
         "metric": "rti_solves_per_s",
@@ -107,16 +122,111 @@ def main():
         "vs_baseline": round(float(solves_per_s) / 200.0, 2),
     }
     extra = {
-        "backend": backend,
-        "batch": batch,
-        "horizon": N,
-        "reps": reps,
-        "per_solve_latency_ms": round(1e3 * wall / reps, 3),
-        "compile_s": round(compile_s, 1),
-        "ok_fraction": round(float(np.mean(np.asarray(status) == 0)), 3),
+        "backend": backend, "batch": batch, "horizon": N, "reps": reps,
+        "use_net": use_net,
+        "per_tick_latency_ms": round(1e3 * wall / reps, 3),
+        "compile_s": round(compile_s, 1), "ok_fraction": round(ok, 3),
     }
     print(json.dumps(result))
     print(json.dumps({"detail": extra}), file=sys.stderr)
+
+
+def suite_latency(backend):
+    """Per-tick latency quantiles at small batch vs the 5 ms budget.
+
+    The reference's real-time contract is one RTI solve per dt=5 ms tick
+    (config.yaml:7); its own 99% quantile report is mpc.py:300-303. Here
+    each tick is timed individually (block_until_ready per call).
+    """
+    import jax
+    import numpy as np
+
+    N = 25
+    reps = int(os.environ.get("BENCH_REPS", "200"))
+    use_net = os.environ.get("BENCH_NET", "1") == "1"
+    model, ctrl, step = _build_step("receding", N, 10.0, use_net)
+    out = []
+    for batch in (1, 8, 64):
+        x0s, states = _states_for(model, ctrl, batch)
+        st, u, _ = step(states, x0s)
+        jax.block_until_ready(u)
+        times = np.empty(reps)
+        for i in range(reps):
+            t0 = time.perf_counter()
+            st, u, _ = step(st, x0s)
+            jax.block_until_ready(u)
+            times[i] = time.perf_counter() - t0
+        ms = 1e3 * times
+        line = {
+            "metric": "rti_tick_latency_ms", "batch": batch,
+            "value": round(float(np.percentile(ms, 99)), 3),
+            "unit": "ms_p99",
+            "p50": round(float(np.percentile(ms, 50)), 3),
+            "mean": round(float(ms.mean()), 3),
+            "budget_ms": 5.0,
+            "within_budget": bool(np.percentile(ms, 99) < 5.0),
+            "backend": backend, "use_net": use_net,
+        }
+        out.append(line)
+        print(json.dumps(line))
+    return out
+
+
+def suite_matrix(backend):
+    """BASELINE config matrix (run_all_mpc.sh:10-12): controller x alpha x
+    horizon, one JSON line per cell + BENCH_MATRIX.json artifact."""
+    controllers = os.environ.get(
+        "BENCH_CONTROLLERS", "naive,zerovel,receding").split(",")
+    alphas = [float(a) for a in os.environ.get(
+        "BENCH_ALPHAS", "10,20,30,50").split(",")]
+    horizons = [int(n) for n in os.environ.get(
+        "BENCH_HORIZONS", "20,25,35,45").split(",")]
+    batch = int(os.environ.get("BENCH_BATCH", "512" if backend != "cpu"
+                               else "64"))
+    reps = int(os.environ.get("BENCH_REPS", "10"))
+    use_net = os.environ.get("BENCH_NET", "1") == "1"
+
+    cells = []
+    for cont in controllers:
+        for N in horizons:
+            for alpha in alphas:
+                if cont == "naive" and alpha != alphas[0]:
+                    continue  # alpha only gates the safe set
+                model, ctrl, step = _build_step(cont, N, alpha, use_net)
+                x0s, states = _states_for(model, ctrl, batch)
+                compile_s, wall, ok = _measure(step, states, x0s, reps)
+                line = {
+                    "metric": "rti_solves_per_s", "controller": cont,
+                    "horizon": N, "alpha": alpha,
+                    "value": round(batch * reps / wall, 1),
+                    "unit": "solves/s",
+                    "vs_baseline": round(batch * reps / wall / 200.0, 2),
+                    "per_tick_latency_ms": round(1e3 * wall / reps, 3),
+                    "batch": batch, "ok_fraction": round(ok, 3),
+                    "compile_s": round(compile_s, 1),
+                    "backend": backend, "use_net": use_net,
+                }
+                cells.append(line)
+                print(json.dumps(line), flush=True)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_MATRIX.json")
+    with open(path, "w") as f:
+        json.dump({"backend": backend, "batch": batch, "reps": reps,
+                   "use_net": use_net, "cells": cells}, f, indent=1)
+    print(f"wrote {path}", file=sys.stderr)
+
+
+def main():
+    backend = _setup()
+    suite = os.environ.get("BENCH_SUITE", "headline")
+    if suite == "headline":
+        suite_headline(backend)
+    elif suite == "latency":
+        suite_latency(backend)
+    elif suite == "matrix":
+        suite_matrix(backend)
+    else:
+        raise SystemExit(f"unknown BENCH_SUITE {suite!r}")
 
 
 if __name__ == "__main__":
