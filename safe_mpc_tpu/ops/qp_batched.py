@@ -151,8 +151,7 @@ def _riccati_last(A, B, c, dx0, Qb, qb, Rb, rb, Sb):
 
 def solve_qp_batched(data: QPData, iters: int = 20, mu0: float = 1e2,
                      mu_decay: float = 0.45, mu_min: float = 1e-9,
-                     ftb: float = 0.995, hard_tol: float = 1e-6,
-                     riccati: str = "jnp") -> QPSolution:
+                     ftb: float = 0.995, hard_tol: float = 1e-6) -> QPSolution:
     """Batch-major solve of a batched QPData (leading batch axis B on every
     field). Same algorithm and semantics as `solve_qp`; per-problem
     fraction-to-boundary steps and statuses.
@@ -171,14 +170,12 @@ def solve_qp_batched(data: QPData, iters: int = 20, mu0: float = 1e2,
         active=bl(data.active), soft=bl(data.soft),
         zl=bl(data.zl), zu=bl(data.zu), Zl=bl(data.Zl), Zu=bl(data.Zu))
     return solve_qp_bl(datab, iters=iters, mu0=mu0, mu_decay=mu_decay,
-                       mu_min=mu_min, ftb=ftb, hard_tol=hard_tol,
-                       riccati=riccati)
+                       mu_min=mu_min, ftb=ftb, hard_tol=hard_tol)
 
 
 def solve_qp_bl(data: QPDataBL, iters: int = 20, mu0: float = 1e2,
                 mu_decay: float = 0.45, mu_min: float = 1e-9,
-                ftb: float = 0.995, hard_tol: float = 1e-6,
-                riccati: str = "jnp") -> QPSolution:
+                ftb: float = 0.995, hard_tol: float = 1e-6) -> QPSolution:
     """Batch-last core of the interior-point solver: consumes a
     :class:`QPDataBL` (lane-minor layout, e.g. from
     ``OcpSpec.transcribe_bl``) with no entry transposes. Returns a
@@ -268,13 +265,7 @@ def solve_qp_bl(data: QPDataBL, iters: int = 20, mu0: float = 1e2,
             + jnp.einsum("ij,kjb->kib", Bm, du) - dx[1:]
         dx0_res = dx0 - dx[0]
 
-        if riccati == "pallas":
-            from .pallas_riccati import riccati_pallas
-            ddx, ddu = riccati_pallas(A, Bm, c_res, dx0_res, Qb, qb, Rb, rb,
-                                      Sb)
-        else:
-            ddx, ddu = _riccati_last(A, Bm, c_res, dx0_res, Qb, qb, Rb, rb,
-                                     Sb)
+        ddx, ddu = _riccati_last(A, Bm, c_res, dx0_res, Qb, qb, Rb, rb, Sb)
 
         ddu_full = jnp.concatenate([ddu, jnp.zeros_like(ddu[:1])], axis=0)
         drow = jnp.einsum("kmib,kib->kmb", Cx, ddx) \

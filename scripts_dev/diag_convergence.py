@@ -33,23 +33,23 @@ def main():
     B = int(os.environ.get("DIAG_B", "16"))
     n_steps = int(os.environ.get("DIAG_STEPS", "800"))
     use_net = os.environ.get("DIAG_NET", "1") == "1"
+    HOR = int(os.environ.get("DIAG_HOR", "45"))
 
-    base = load_config().with_(N=25, use_net=use_net)
+    base = load_config().with_(N=HOR, use_net=use_net)
 
     # (label, controller, use_net, lm, rti_iters, cost_scaling)
     configs = [
-        ("rec-net sc=none lm=5e-1 it=1", "receding", True, 5e-1, 1, "none"),
-        ("rec-net sc=none lm=1e-1 it=1", "receding", True, 1e-1, 1, "none"),
-        ("rec-net sc=none lm=1e-2 it=1", "receding", True, 1e-2, 1, "none"),
-        ("naive   sc=none lm=5e-1 it=1", "naive", True, 5e-1, 1, "none"),
+        (f"rec-net N={HOR} lm=1e-2 it=1", "receding", True, 1e-2, 1, "dt"),
+        (f"rec-net N={HOR} lm=1e-3 it=1", "receding", True, 1e-3, 1, "dt"),
+        (f"naive   N={HOR} lm=1e-2 it=1", "naive", True, 1e-2, 1, "dt"),
     ]
     for name, cont, unet, lm, iters, scaling in configs:
         n_run = n_steps * (2 if "long" in name else 1)
         cfg = base.with_(levenberg_marquardt=lm, use_net=unet)
         model = ManipulatorModel(cfg)
-        ctrl = get_controller(cont, model, N=25, rti_iters=iters,
+        ctrl = get_controller(cont, model, N=HOR, rti_iters=iters,
                               cost_scaling=scaling)
-        gpath = guess_path(cfg.with_(use_net=True), cont, 25)
+        gpath = guess_path(cfg.with_(use_net=True), cont, HOR)
         xg, ug = load_guess(gpath)
         xg, ug = xg[:B], ug[:B]
         x0s = jnp.asarray(xg[:, 0, :])
