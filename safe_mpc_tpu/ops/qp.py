@@ -182,11 +182,17 @@ def _riccati_solve(A, B, c, dx0, Qb, qb, Rb, rb, Sb):
 
 def solve_qp(data: QPData, iters: int = 20, mu0: float = 1e2,
              mu_decay: float = 0.45, mu_min: float = 1e-9,
-             ftb: float = 0.995, hard_tol: float = 1e-6) -> QPSolution:
+             ftb: float = 0.995, hard_tol: float = 1e-6,
+             horizon_parallel: bool = False) -> QPSolution:
     """Solve one OCP-QP (vmap for batches). Fixed `iters` Newton steps with
     a geometric barrier schedule — batch-uniform compute, no data-dependent
     control flow (XLA-friendly; mirrors HPIPM's bounded-iteration role with
-    qp_max_iter, reference config.yaml:18)."""
+    qp_max_iter, reference config.yaml:18).
+
+    horizon_parallel=True runs the Riccati sweeps via the associative-scan
+    backend (ops/riccati_assoc.py): O(log N) depth instead of O(N) —
+    lower latency at small batch, more FLOPs (use the default for large
+    batched throughput)."""
     N = data.R.shape[0]
     m = data.h.shape[-1]
     dtype = data.h.dtype
@@ -276,8 +282,13 @@ def solve_qp(data: QPData, iters: int = 20, mu0: float = 1e2,
             + jnp.einsum("ij,kj->ki", data.B, du) - dx[1:]
         dx0_res = data.dx0 - dx[0]
 
-        ddx, ddu = _riccati_solve(
-            data.A, data.B, c_res, dx0_res, Qb, qb, Rb, rb, Sb)
+        if horizon_parallel:
+            from .riccati_assoc import riccati_assoc
+            ddx, ddu = riccati_assoc(
+                data.A, data.B, c_res, dx0_res, Qb, qb, Rb, rb, Sb)
+        else:
+            ddx, ddu = _riccati_solve(
+                data.A, data.B, c_res, dx0_res, Qb, qb, Rb, rb, Sb)
 
         ddu_full = jnp.concatenate([ddu, jnp.zeros_like(ddu[:1])], axis=0)
         drow = jnp.einsum("kmi,ki->km", Cx, ddx) \
