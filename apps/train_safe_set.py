@@ -23,6 +23,9 @@ def main(argv=None):
     parser.add_argument("--bisection", type=int, default=7)
     parser.add_argument("--back_hor", type=int, default=45)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--boundary_frac", type=float, default=0.5,
+                        help="fraction of samples biased to low-margin "
+                             "(near-obstacle / near-joint-limit) states")
     parser.add_argument("--chunk", type=int, default=64,
                         help="braking-solve chunk size (HBM cap; each "
                              "problem holds ~100 MB live during the SQP)")
@@ -46,7 +49,8 @@ def main(argv=None):
     t0 = time.time()
     qs, dirs, labels = ts.generate_labels(
         model, args.samples, backup_N=args.back_hor,
-        bisection_iters=args.bisection, seed=args.seed, chunk=args.chunk)
+        bisection_iters=args.bisection, seed=args.seed, chunk=args.chunk,
+        boundary_frac=args.boundary_frac)
     n_solves = args.samples * (args.bisection + 1)
     dt_label = time.time() - t0
     print(f"labels: {args.samples} samples, s* in "

@@ -54,21 +54,78 @@ def _braking_feasible(backup: SafeBackupController, x, max_iters: int = 25):
     return ok
 
 
+def boundary_focused_states(model: ManipulatorModel, n: int,
+                            boundary_frac: float = 0.5, seed: int = 0,
+                            pool_factor: int = 4):
+    """Mix of uniform Halton states and low-margin ("boundary") states.
+
+    The safe set's decision surface lives where braking is ABOUT to become
+    infeasible — near obstacles and joint limits. Uniform sampling wastes
+    most labels deep inside the safe region, so this draws a `pool_factor`
+    oversized Halton pool, scores each configuration by its criticality
+    margin (min over normalized collision clearance and joint-limit
+    distance), and keeps the lowest-margin `boundary_frac` of the output
+    from the pool plus a uniform remainder.
+    """
+    nq = model.nq
+    n_b = int(round(boundary_frac * n))
+    n_u = n - n_b
+    pool = sample_initial_states(model, max(pool_factor * n_b, n_b),
+                                 seed_offset=seed * 977)
+
+    @jax.jit
+    @jax.vmap
+    def margins(x):
+        q = x[:nq]
+        lo = jnp.asarray(model.x_min[:nq], x.dtype)
+        hi = jnp.asarray(model.x_max[:nq], x.dtype)
+        m_joint = jnp.min(jnp.minimum(q - lo, hi - q) / (hi - lo))
+        if model.n_collision:
+            clo, chi = model.collision_bounds
+            vals = model.collision_values(x)
+            gap = jnp.minimum(vals - jnp.asarray(clo, x.dtype),
+                              jnp.asarray(chi, x.dtype) - vals)
+            m_col = jnp.min(gap)  # meters of clearance
+        else:
+            m_col = jnp.inf
+        return m_joint, m_col
+
+    # split the boundary quota between the two criticality types —
+    # joint-limit proximity dominates a min() score in a Halton pool,
+    # starving the obstacle boundary of labels
+    m_joint, m_col = (np.asarray(a) for a in margins(pool))
+    n_col = n_b // 2
+    idx_col = np.argsort(m_col)[:n_col]
+    rest = np.setdiff1d(np.arange(pool.shape[0]), idx_col)
+    idx_j = rest[np.argsort(m_joint[rest])[:n_b - n_col]]
+    uni = sample_initial_states(model, n_u,
+                                seed_offset=seed * 977 + 131071)
+    return jnp.concatenate([pool[idx_col], pool[idx_j], uni], axis=0)
+
+
 def generate_labels(model: ManipulatorModel, n_samples: int,
                     backup_N: int | None = None, bisection_iters: int = 7,
                     seed: int = 0, qp_iters: int = 15, sqp_iters: int = 20,
-                    v_cap: float | None = None, chunk: int = 256):
+                    v_cap: float | None = None, chunk: int = 256,
+                    boundary_frac: float = 0.0):
     """(states (n, nx_dirs...), labels s* (n,)).
 
     Returns (q (n, nq), v_dir (n, nq), s_star (n,)). Each bisection
     iteration solves `n_samples` braking OCPs batched; samples are
     processed in host-level chunks of `chunk` to cap live HBM (the
     braking SQP holds ~20 MB of intermediates per problem).
+    `boundary_frac` > 0 biases that fraction of the samples toward the
+    constraint boundary (`boundary_focused_states`).
     """
     nq = model.nq
     backup = SafeBackupController(model, N=backup_N or model.cfg.back_hor,
                                   qp_iters=qp_iters)
-    x0s = sample_initial_states(model, n_samples, seed_offset=seed * 977)
+    if boundary_frac > 0:
+        x0s = boundary_focused_states(model, n_samples,
+                                      boundary_frac=boundary_frac,
+                                      seed=seed)
+    else:
+        x0s = sample_initial_states(model, n_samples, seed_offset=seed * 977)
     qs = x0s[:, :nq]
     key = jax.random.PRNGKey(seed)
     dirs = jax.random.normal(key, (n_samples, nq), x0s.dtype)

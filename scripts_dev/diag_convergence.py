@@ -39,9 +39,10 @@ def main():
 
     # (label, controller, use_net, lm, rti_iters, cost_scaling)
     configs = [
-        (f"rec-net N={HOR} lm=1e-2 it=1", "receding", True, 1e-2, 1, "dt"),
-        (f"rec-net N={HOR} lm=1e-3 it=1", "receding", True, 1e-3, 1, "dt"),
-        (f"naive   N={HOR} lm=1e-2 it=1", "naive", True, 1e-2, 1, "dt"),
+        (f"rec-net N={HOR} lm=1e-3 it=1 long", "receding", True, 1e-3, 1, "dt"),
+        (f"rec-net N={HOR} lm=1e-3 it=3", "receding", True, 1e-3, 3, "dt"),
+        (f"naive   N={HOR} lm=1e-3 it=1", "naive", True, 1e-3, 1, "dt"),
+        (f"rec-net N={HOR} lm=3e-4 it=1", "receding", True, 3e-4, 1, "dt"),
     ]
     for name, cont, unet, lm, iters, scaling in configs:
         n_run = n_steps * (2 if "long" in name else 1)
@@ -68,6 +69,9 @@ def main():
               f"err med={np.median(err):.4f} max={err.max():.4f} "
               f"<1e-3:{(err < 1e-3).sum()} <1e-2:{(err < 1e-2).sum()} | "
               f"|v| med={np.median(v):.4f} | {wall:.0f}s", flush=True)
+        print(f"  per-problem err: "
+              f"{np.array2string(err, precision=3, max_line_width=200)}",
+              flush=True)
 
 
 if __name__ == "__main__":
