@@ -46,7 +46,7 @@ def _setup():
 
 
 def _build_step(controller: str, N: int, alpha: float, use_net: bool,
-                qp_iters: int = 15):
+                qp_iters: int = 15, horizon_parallel: bool = False):
     """One jitted batched RTI tick (linearize + QP) for a config cell."""
     import dataclasses
 
@@ -67,7 +67,8 @@ def _build_step(controller: str, N: int, alpha: float, use_net: bool,
 
     def step_fn(states, xs):
         res = rti_step_batched(ctrl.spec, states.xg, states.ug, xs,
-                               sched, qp_iters=qp_iters)
+                               sched, qp_iters=qp_iters,
+                               horizon_parallel=horizon_parallel)
         new_states = dataclasses.replace(states, xg=res.xs, ug=res.us)
         return new_states, res.us[:, 0], res.status
 
@@ -141,34 +142,38 @@ def suite_latency(backend):
     import jax
     import numpy as np
 
-    N = 25
+    N = int(os.environ.get("BENCH_HORIZON", "25"))
     reps = int(os.environ.get("BENCH_REPS", "200"))
     use_net = os.environ.get("BENCH_NET", "1") == "1"
-    model, ctrl, step = _build_step("receding", N, 10.0, use_net)
     out = []
-    for batch in (1, 8, 64):
-        x0s, states = _states_for(model, ctrl, batch)
-        st, u, _ = step(states, x0s)
-        jax.block_until_ready(u)
-        times = np.empty(reps)
-        for i in range(reps):
-            t0 = time.perf_counter()
-            st, u, _ = step(st, x0s)
+    for hp in (False, True):
+        model, ctrl, step = _build_step("receding", N, 10.0, use_net,
+                                        horizon_parallel=hp)
+        for batch in (1, 8, 64):
+            x0s, states = _states_for(model, ctrl, batch)
+            st, u, _ = step(states, x0s)
             jax.block_until_ready(u)
-            times[i] = time.perf_counter() - t0
-        ms = 1e3 * times
-        line = {
-            "metric": "rti_tick_latency_ms", "batch": batch,
-            "value": round(float(np.percentile(ms, 99)), 3),
-            "unit": "ms_p99",
-            "p50": round(float(np.percentile(ms, 50)), 3),
-            "mean": round(float(ms.mean()), 3),
-            "budget_ms": 5.0,
-            "within_budget": bool(np.percentile(ms, 99) < 5.0),
-            "backend": backend, "use_net": use_net,
-        }
-        out.append(line)
-        print(json.dumps(line))
+            times = np.empty(reps)
+            for i in range(reps):
+                t0 = time.perf_counter()
+                st, u, _ = step(st, x0s)
+                jax.block_until_ready(u)
+                times[i] = time.perf_counter() - t0
+            ms = 1e3 * times
+            line = {
+                "metric": "rti_tick_latency_ms", "batch": batch,
+                "value": round(float(np.percentile(ms, 99)), 3),
+                "unit": "ms_p99",
+                "p50": round(float(np.percentile(ms, 50)), 3),
+                "mean": round(float(ms.mean()), 3),
+                "budget_ms": 5.0,
+                "within_budget": bool(np.percentile(ms, 99) < 5.0),
+                "riccati": "assoc" if hp else "scan",
+                "horizon": N,
+                "backend": backend, "use_net": use_net,
+            }
+            out.append(line)
+            print(json.dumps(line), flush=True)
     return out
 
 

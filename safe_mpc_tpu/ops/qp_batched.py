@@ -151,7 +151,8 @@ def _riccati_last(A, B, c, dx0, Qb, qb, Rb, rb, Sb):
 
 def solve_qp_batched(data: QPData, iters: int = 20, mu0: float = 1e2,
                      mu_decay: float = 0.45, mu_min: float = 1e-9,
-                     ftb: float = 0.995, hard_tol: float = 1e-6) -> QPSolution:
+                     ftb: float = 0.995, hard_tol: float = 1e-6,
+                     horizon_parallel: bool = False) -> QPSolution:
     """Batch-major solve of a batched QPData (leading batch axis B on every
     field). Same algorithm and semantics as `solve_qp`; per-problem
     fraction-to-boundary steps and statuses.
@@ -170,12 +171,14 @@ def solve_qp_batched(data: QPData, iters: int = 20, mu0: float = 1e2,
         active=bl(data.active), soft=bl(data.soft),
         zl=bl(data.zl), zu=bl(data.zu), Zl=bl(data.Zl), Zu=bl(data.Zu))
     return solve_qp_bl(datab, iters=iters, mu0=mu0, mu_decay=mu_decay,
-                       mu_min=mu_min, ftb=ftb, hard_tol=hard_tol)
+                       mu_min=mu_min, ftb=ftb, hard_tol=hard_tol,
+                       horizon_parallel=horizon_parallel)
 
 
 def solve_qp_bl(data: QPDataBL, iters: int = 20, mu0: float = 1e2,
                 mu_decay: float = 0.45, mu_min: float = 1e-9,
-                ftb: float = 0.995, hard_tol: float = 1e-6) -> QPSolution:
+                ftb: float = 0.995, hard_tol: float = 1e-6,
+                horizon_parallel: bool = False) -> QPSolution:
     """Batch-last core of the interior-point solver: consumes a
     :class:`QPDataBL` (lane-minor layout, e.g. from
     ``OcpSpec.transcribe_bl``) with no entry transposes. Returns a
@@ -265,7 +268,21 @@ def solve_qp_bl(data: QPDataBL, iters: int = 20, mu0: float = 1e2,
             + jnp.einsum("ij,kjb->kib", Bm, du) - dx[1:]
         dx0_res = dx0 - dx[0]
 
-        ddx, ddu = _riccati_last(A, Bm, c_res, dx0_res, Qb, qb, Rb, rb, Sb)
+        if horizon_parallel:
+            # associative-scan backend works batch-LEADING; round-trip the
+            # lane layout (cheap transposes vs O(N) -> O(log N) depth)
+            from .riccati_assoc import riccati_assoc
+            fwd = lambda a: jnp.moveaxis(a, -1, 0)
+            ddx, ddu = jax.vmap(
+                riccati_assoc,
+                in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0))(
+                    A, Bm, fwd(c_res), fwd(dx0_res), fwd(Qb), fwd(qb),
+                    fwd(Rb), fwd(rb), fwd(Sb))
+            ddx = jnp.moveaxis(ddx, 0, -1)
+            ddu = jnp.moveaxis(ddu, 0, -1)
+        else:
+            ddx, ddu = _riccati_last(A, Bm, c_res, dx0_res, Qb, qb, Rb,
+                                     rb, Sb)
 
         ddu_full = jnp.concatenate([ddu, jnp.zeros_like(ddu[:1])], axis=0)
         drow = jnp.einsum("kmib,kib->kmb", Cx, ddx) \

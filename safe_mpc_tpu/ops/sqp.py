@@ -49,7 +49,8 @@ def rti_step(spec: OcpSpec, xg, ug, x0, schedule: NodeSchedule,
 
 
 def rti_step_batched(spec: OcpSpec, xgs, ugs, x0s, schedule: NodeSchedule,
-                     qp_iters: int = 20) -> SolveResult:
+                     qp_iters: int = 20,
+                     horizon_parallel: bool = False) -> SolveResult:
     """Whole-batch RTI step, fully batch-last: `transcribe_bl` linearizes
     all B*(N+1) nodes as one lane-packed program and `solve_qp_bl`
     consumes the QPDataBL with no layout changes — the TPU-throughput
@@ -59,7 +60,7 @@ def rti_step_batched(spec: OcpSpec, xgs, ugs, x0s, schedule: NodeSchedule,
     from .qp_batched import solve_qp_bl
 
     datab = spec.transcribe_bl(xgs, ugs, x0s, schedule)
-    sol = solve_qp_bl(datab, iters=qp_iters)
+    sol = solve_qp_bl(datab, iters=qp_iters, horizon_parallel=horizon_parallel)
     B = xgs.shape[0]
     return SolveResult(xs=xgs + sol.dx, us=ugs + sol.du, status=sol.status,
                        qp_viol=sol.hard_violation,

@@ -77,3 +77,27 @@ def test_solve_qp_horizon_parallel():
     assert int(sol_s.status) == 0 and int(sol_p.status) == 0
     np.testing.assert_allclose(np.asarray(sol_p.du), np.asarray(sol_s.du),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_rti_step_batched_horizon_parallel():
+    """The batched RTI entry point with horizon_parallel=True matches the
+    sequential backend on a small batch."""
+    from safe_mpc_tpu.config import load_config
+    from safe_mpc_tpu.controllers.registry import get_controller
+    from safe_mpc_tpu.models.manipulator import ManipulatorModel
+    from safe_mpc_tpu.ops.sqp import rti_step_batched
+    from safe_mpc_tpu.tasks.sampling import sample_initial_states
+
+    cfg = load_config().with_(N=10, use_net=False)
+    model = ManipulatorModel(cfg)
+    ctrl = get_controller("receding", model, N=10)
+    x0s = sample_initial_states(model, 4, margin=0.05)
+    states = jax.vmap(ctrl.initial_state)(x0s)
+    sched = ctrl.schedule(ctrl.initial_state(x0s[0]))
+
+    res_s = rti_step_batched(ctrl.spec, states.xg, states.ug, x0s, sched,
+                             qp_iters=15)
+    res_p = rti_step_batched(ctrl.spec, states.xg, states.ug, x0s, sched,
+                             qp_iters=15, horizon_parallel=True)
+    np.testing.assert_allclose(np.asarray(res_p.us), np.asarray(res_s.us),
+                               rtol=1e-6, atol=1e-8)
