@@ -13,6 +13,7 @@ one batched program; rejected candidates are resampled host-side.
 
 from __future__ import annotations
 
+import os
 import time
 
 from _common import setup_runtime
@@ -64,13 +65,18 @@ def main(argv=None):
     offset = 0
     dt = jnp.float64 if dtype == "float64" else jnp.float32
     solve_main = solver_for(main_ctrl)
+    # fixed-size chunks keep the batched full-SQP program bounded (the
+    # remote TPU worker is fragile above ~32 problems x N=45 x 120 iters)
+    chunk = min(int(os.environ.get("GUESS_CHUNK", "32")), test_num)
     while sum(a.shape[0] for a in accepted_x) < test_num:
-        x0s = sample_initial_states(model, test_num, seed_offset=offset)
+        x0s = sample_initial_states(model, chunk, seed_offset=offset)
         x0s = x0s.astype(dt)
-        offset += test_num * 4
+        offset += chunk * 4
         xs, us, ok = solve_main(x0s)
         okn = np.asarray(ok)
-        print(f"  batch accepted {okn.sum()}/{len(okn)}")
+        got = sum(a.shape[0] for a in accepted_x) + int(okn.sum())
+        print(f"  batch accepted {okn.sum()}/{len(okn)} "
+              f"(total {min(got, test_num)}/{test_num})", flush=True)
         accepted_x.append(np.asarray(x0s)[okn])
         accepted_xs.append(np.asarray(xs)[okn])
         accepted_us.append(np.asarray(us)[okn])
@@ -81,10 +87,21 @@ def main(argv=None):
     # naive / zerovel guesses for the SAME x0s, falling back to the safe
     # guess on failure (guess_acados.py:132-148)
     for n in names[1:]:
-        xs, us, ok = solver_for(ctrls[n])(jnp.asarray(x0s))
-        okn = np.asarray(ok)[:, None, None]
-        xs = np.where(okn, np.asarray(xs), data[cont_name][0])
-        us = np.where(okn, np.asarray(us), data[cont_name][1])
+        solve_n = solver_for(ctrls[n])
+        xs_l, us_l, ok_l = [], [], []
+        for a in range(0, test_num, chunk):
+            b = min(a + chunk, test_num)
+            sel = np.arange(a, b)
+            if b - a < chunk:   # pad to the compiled shape
+                sel = np.concatenate([sel, np.full(chunk - (b - a), a)])
+            xs, us, ok = solve_n(jnp.asarray(x0s[sel]))
+            xs_l.append(np.asarray(xs)[:b - a])
+            us_l.append(np.asarray(us)[:b - a])
+            ok_l.append(np.asarray(ok)[:b - a])
+        xs, us = np.concatenate(xs_l), np.concatenate(us_l)
+        okn = np.concatenate(ok_l)[:, None, None]
+        xs = np.where(okn, xs, data[cont_name][0])
+        us = np.where(okn, us, data[cont_name][1])
         print(f"  {n}: {int(okn.sum())}/{test_num} native, rest fell back")
         data[n] = (xs, us)
 

@@ -105,15 +105,31 @@ def main(argv=None):
             lambda a: jnp.tile(a[None], (test_num,) + (1,) * a.ndim),
             model.robot.default_params)
 
+    replanner = None
+    if args.get("replan_N"):
+        from safe_mpc_tpu.controllers.registry import get_guess_controller
+        from safe_mpc_tpu.sim.replan import StallReplanner
+        replan_ctrl = get_guess_controller(
+            cont_name, model, N=int(args["replan_N"]), rti_iters=60,
+            lm=1e-3)
+        replanner = StallReplanner(replan_ctrl, controller)
+        print(f"stall replanner on: N_replan={args['replan_N']}, "
+              f"{0 if replanner.q_iks is None else len(replanner.q_iks)} "
+              f"IK anchors")
+
     sim = ClosedLoopSim(controller, backup=backup)
     t0 = time.time()
     res = sim.run(x0s, xg=jnp.asarray(xg), ug=jnp.asarray(ug),
-                  n_steps=n_steps, plant_params=plant_params, verbose=True)
+                  n_steps=n_steps, plant_params=plant_params, verbose=True,
+                  replanner=replanner)
     wall = time.time() - t0
     n_solves = test_num * n_steps
     print(f"\nSimulated {test_num} tests x {n_steps} steps in {wall:.1f}s "
           f"({n_solves / wall:.0f} RTI solves/s incl. compile)")
 
+    if replanner is not None:
+        print(f"replans: {replanner.n_replans} solved, "
+              f"{replanner.n_accepted} accepted")
     print(f"Completed task: {len(res.conv_idx)}"
           f"\nCollisions: {len(res.collisions_idx)}"
           f"\nViable states: {len(res.viable_idx)}"

@@ -354,6 +354,9 @@ def parse_args(argv: list[str] | None = None) -> dict[str, Any]:
                              "circle (reference cost_definition.py:102-288)")
     parser.add_argument("--n_steps", type=int, default=None,
                         help="override episode length")
+    parser.add_argument("--replan_N", type=int, default=0,
+                        help="long-horizon stall-replan OCP horizon "
+                             "(0 = off; see sim/replan.py)")
     parser.add_argument("--rti_iters", type=int, default=None,
                         help="SQP iterations per control step (default: "
                              "config rti_iter; >1 is the analogue of the "

@@ -268,13 +268,17 @@ class ClosedLoopSim:
     def run(self, x0s, xg=None, ug=None, n_steps: int | None = None,
             plant_params: InertialParams | None = None,
             keys=None, segment: int | None = 100,
-            verbose: bool = False) -> SimResult:
+            verbose: bool = False, replanner=None) -> SimResult:
         """Simulate the whole batch for n_steps and classify outcomes.
 
         The scan runs in host-chained segments of `segment` steps (one
         compiled program, reused): a monolithic 800-step scan at batch 100
         is too large for a single TPU program, and segments give progress
         visibility. `segment=None` runs one scan.
+
+        `replanner` (sim.replan.StallReplanner) is called between
+        segments to detect stalled problems and splice long-horizon
+        replan guesses into the controller state.
         """
         model, cfg = self.model, self.cfg
         n_steps = int(n_steps or cfg.n_steps)
@@ -306,6 +310,8 @@ class ClosedLoopSim:
                     done = int(jnp.sum(st.mode == MODE_DONE))
                     print(f"  sim step {(k + 1) * seg}/{n_steps} "
                           f"(done: {done}/{B})", flush=True)
+                if replanner is not None and k < n_full - 1:
+                    st = replanner.maybe_replan(st, verbose=verbose)
             if rem:
                 st, logs_k = jax.lax.scan(scan_step, st, None, length=rem)
                 if self.log_trajectories:

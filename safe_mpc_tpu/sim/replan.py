@@ -1,0 +1,205 @@
+"""Event-triggered long-horizon replanning for stalled closed loops.
+
+The receding MPC's N-step OCP has genuine local minima behind the cage
+obstacles: from some starts the loop wedges at ~5 cm EE error and full
+SQP at the SAME horizon cannot improve (measured, scripts_dev/
+diag_escape.py). Two measured escape mechanisms, applied between sim
+segments (host-side, so the per-segment compiled program is unchanged):
+
+1. a LONG-horizon OCP (N_replan >> N) cold-started from the shifted
+   guess escapes shallow wedges (5-9 cm -> sub-mm terminal error), and
+2. for deep wedges, the same OCP seeded with a joint-space
+   IK-interpolation guess (smooth cosine path from the stalled q to a
+   multistart IK solution of the target; the SQP repairs collisions)
+   finds routes the cold start cannot.
+
+A problem is "stalled" when it is still running, its EE error exceeds
+tol_conv, and the error improved less than `progress_tol` since the
+last check. Accepted replans (feasible and terminal error materially
+better) splice their first N nodes into the controller state as a fresh
+guess (reference setGuess semantics, controller.py:390-393); everything
+downstream — RTI ticks, abort machinery, outcome classification — is
+untouched. This generalizes the reference's offline guess stage
+(guess_acados.py) to an online, event-triggered form; the controller
+itself never changes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..controllers.base import MPCController
+from ..ops.sqp import sqp_solve_batched
+from ..tasks.ik import solve_ik_multistart
+from .closed_loop import MODE_MPC, SimState, _tree_where_b
+
+
+class StallReplanner:
+    """Host-side stall detector + batched long-horizon replanner.
+
+    Parameters
+    ----------
+    replan_ctrl : a long-horizon controller (typically the guess variant
+        of the closed-loop controller, ``get_guess_controller(name,
+        model, N=replan_N)``) whose spec defines the replan OCP.
+    target_ctrl : the closed-loop controller (for horizon N and set_guess
+        semantics).
+    chunk : stalled problems are replanned in padded chunks of this size
+        (one compiled program, reused; keeps TPU program size bounded).
+    """
+
+    def __init__(self, replan_ctrl: MPCController,
+                 target_ctrl: MPCController,
+                 progress_tol: float = 2e-3, chunk: int = 16,
+                 ik_starts: int = 32, ik_seeds: int = 4,
+                 sqp_iters: int = 60, qp_iters: int = 25,
+                 accept_margin: float = 5e-3):
+        self.replan = replan_ctrl
+        self.ctrl = target_ctrl
+        self.model = replan_ctrl.model
+        self.progress_tol = float(progress_tol)
+        self.chunk = int(chunk)
+        self.sqp_iters = int(sqp_iters)
+        self.qp_iters = int(qp_iters)
+        self.accept_margin = float(accept_margin)
+        self.prev_err: np.ndarray | None = None
+        self.n_replans = 0
+        self.n_accepted = 0
+
+        # IK solutions of the (shared) target, computed once: diverse
+        # collision-free rest configurations reaching ee_ref
+        model = self.model
+        sols = []
+        for s in range(ik_seeds):
+            x_ik, ok = solve_ik_multistart(
+                model, jnp.asarray(model.ee_ref), n_starts=ik_starts,
+                key=jax.random.PRNGKey(1234 + s))
+            if bool(ok):
+                sols.append(np.asarray(x_ik))
+        self.q_iks = np.stack(sols) if sols else None
+        self._solve = jax.jit(self._solve_impl)
+
+    # ------------------------------------------------------------- guesses
+
+    def _ik_guess(self, x0s):
+        """Joint-space cosine interpolation from each stalled q to its
+        NEAREST IK solution; velocities by finite difference."""
+        model = self.model
+        nq = model.nq
+        Nr = self.replan.N
+        dt = model.cfg.dt
+        x0s = np.asarray(x0s)
+        d = np.linalg.norm(x0s[:, None, :nq] - self.q_iks[None, :, :nq],
+                           axis=2)
+        pick = self.q_iks[np.argmin(d, axis=1)]          # (B, nx)
+        t = 0.5 * (1 - np.cos(np.linspace(0.0, np.pi, Nr + 1)))
+        qg = x0s[:, None, :nq] \
+            + t[None, :, None] * (pick[:, None, :nq] - x0s[:, None, :nq])
+        vg = np.gradient(qg, dt, axis=1)
+        vg[:, 0] = x0s[:, nq:]
+        xg = np.concatenate([qg, vg], axis=2)
+        ug = (vg[:, 1:] - vg[:, :-1]) / dt
+        return jnp.asarray(xg, jnp.asarray(x0s).dtype), \
+            jnp.asarray(ug, jnp.asarray(x0s).dtype)
+
+    def _hold_guess(self, x0s):
+        """Constant-state cold start (the reference's initializer shape)."""
+        Nr = self.replan.N
+        xg = jnp.tile(x0s[:, None], (1, Nr + 1, 1))
+        ug = jnp.zeros((x0s.shape[0], Nr, self.model.nu), x0s.dtype)
+        return xg, ug
+
+    # ------------------------------------------------------------- solving
+
+    def _solve_impl(self, xg, ug, x0s):
+        sched = jax.vmap(lambda x: self.replan.schedule(
+            self.replan.initial_state(x)))(x0s)
+        res = sqp_solve_batched(self.replan.spec, xg, ug, x0s, sched,
+                                max_iters=self.sqp_iters,
+                                qp_iters=self.qp_iters)
+        ee_T = jax.vmap(self.model.ee_pos)(res.xs[:, -1])
+        errs = jnp.linalg.norm(
+            ee_T - jnp.asarray(self.model.ee_ref, x0s.dtype)[None], axis=1)
+        return res.xs, res.us, res.status, errs
+
+    def _replan_chunk(self, x0s):
+        """Returns (xs, us, ok, err_T) best-of-both-guesses per problem."""
+        best = None
+        guesses = [self._hold_guess(x0s)]
+        if self.q_iks is not None:
+            guesses.append(self._ik_guess(x0s))
+        for xg, ug in guesses:
+            xs, us, status, errs = self._solve(xg, ug, x0s)
+            ok = status == 0
+            cand = (xs, us, ok, errs)
+            if best is None:
+                best = cand
+            else:
+                better = jnp.logical_and(
+                    ok, jnp.logical_or(~best[2], errs < best[3]))
+                best = tuple(
+                    _tree_where_b(better, c, b) for c, b in
+                    zip(cand, best))
+        return best
+
+    # ------------------------------------------------------------- hook
+
+    def maybe_replan(self, st: SimState, verbose: bool = False) -> SimState:
+        """Between-segment hook: detect stalls, replan, splice guesses."""
+        model = self.model
+        ee = np.asarray(jax.vmap(model.ee_pos)(st.x))
+        err = np.linalg.norm(ee - np.asarray(model.ee_ref)[None], axis=1)
+        if self.prev_err is None:
+            self.prev_err = err
+            return st
+        running = np.asarray(st.mode) == MODE_MPC
+        stalled = running & (err > model.cfg.tol_conv) \
+            & (self.prev_err - err < self.progress_tol)
+        self.prev_err = err
+        idx = np.flatnonzero(stalled)
+        if idx.size == 0:
+            return st
+
+        N = self.ctrl.N
+        for a in range(0, idx.size, self.chunk):
+            sel = idx[a:a + self.chunk]
+            pad = self.chunk - sel.size
+            sel_p = np.concatenate([sel, np.repeat(sel[:1], pad)])
+            x0s = jnp.asarray(np.asarray(st.x)[sel_p])
+            xs, us, ok, err_T = self._replan_chunk(x0s)
+            ok = np.asarray(ok) & (np.asarray(err_T)
+                                   < err[sel_p] - self.accept_margin)
+            self.n_replans += sel.size
+            # splice accepted plans' first N nodes as the new guess
+            # (set_guess semantics: x_viable refreshes to xg[-1])
+            accept = np.zeros(err.shape[0], bool)
+            accept[sel] = ok[:sel.size]
+            if not accept.any():
+                continue
+            self.n_accepted += int(accept.sum())
+            xg_new = np.asarray(
+                jax.tree.map(np.asarray, st.ctrl.xg)).copy()
+            ug_new = np.asarray(st.ctrl.ug).copy()
+            xg_new[sel[ok[:sel.size]]] = np.asarray(
+                xs[:sel.size, :N + 1])[ok[:sel.size]]
+            ug_new[sel[ok[:sel.size]]] = np.asarray(
+                us[:sel.size, :N])[ok[:sel.size]]
+            ctrl_new = dataclasses.replace(
+                st.ctrl, xg=jnp.asarray(xg_new), ug=jnp.asarray(ug_new),
+                x_viable=jnp.asarray(xg_new[:, -1]),
+                r=jnp.where(jnp.asarray(accept),
+                            jnp.asarray(self.ctrl.N, st.ctrl.r.dtype),
+                            st.ctrl.r),
+                fails=jnp.where(jnp.asarray(accept),
+                                jnp.zeros_like(st.ctrl.fails),
+                                st.ctrl.fails))
+            st = dataclasses.replace(st, ctrl=ctrl_new)
+            if verbose:
+                print(f"  replan: {int(accept.sum())}/{sel.size} accepted "
+                      f"(chunk err {np.round(np.asarray(err_T)[:sel.size], 4)})",
+                      flush=True)
+        return st

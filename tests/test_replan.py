@@ -1,0 +1,73 @@
+"""StallReplanner mechanics: stall detection, batched long-horizon
+replan, guess splice into the controller state (sim/replan.py)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from safe_mpc_tpu.config import load_config
+from safe_mpc_tpu.controllers.registry import get_controller, \
+    get_guess_controller
+from safe_mpc_tpu.models.manipulator import ManipulatorModel
+from safe_mpc_tpu.sim.closed_loop import ClosedLoopSim
+from safe_mpc_tpu.sim.replan import StallReplanner
+from safe_mpc_tpu.tasks.sampling import sample_initial_states
+
+
+def test_stall_replan_splices_guesses():
+    B, N, Nr = 4, 10, 40
+    cfg = load_config().with_(N=N, use_net=False)
+    model = ManipulatorModel(cfg)
+    ctrl = get_controller("naive", model, N=N)
+    replan_ctrl = get_guess_controller("naive", model, N=Nr,
+                                       rti_iters=40, lm=1e-3)
+    rp = StallReplanner(replan_ctrl, ctrl, chunk=B, sqp_iters=40,
+                        ik_seeds=2, ik_starts=16)
+    assert rp.q_iks is not None and rp.q_iks.shape[1] == model.nx
+
+    sim = ClosedLoopSim(ctrl, backup=None)
+    x0s = sample_initial_states(model, B, margin=0.05)
+    st = sim.initial_state(x0s)
+
+    # first call only records the error baseline
+    st1 = rp.maybe_replan(st)
+    assert rp.prev_err is not None and rp.n_replans == 0
+
+    # state unchanged since baseline -> every running problem is stalled
+    st2 = rp.maybe_replan(st1)
+    assert rp.n_replans == B
+    assert rp.n_accepted > 0     # a 40-step plan beats a standing start
+
+    # accepted problems got a fresh guess whose first node is x0 and whose
+    # controls come from the replan (non-zero), r reset to N
+    changed = np.flatnonzero(
+        np.any(np.asarray(st2.ctrl.ug) != np.asarray(st1.ctrl.ug),
+               axis=(1, 2)))
+    assert changed.size == rp.n_accepted
+    np.testing.assert_allclose(np.asarray(st2.ctrl.xg[changed, 0]),
+                               np.asarray(x0s)[changed], atol=1e-6)
+    assert np.all(np.asarray(st2.ctrl.r)[changed] == N)
+    # guess shapes preserved
+    assert st2.ctrl.xg.shape == st1.ctrl.xg.shape
+    assert st2.ctrl.ug.shape == st1.ctrl.ug.shape
+
+
+def test_replan_noop_when_progressing():
+    B, N = 2, 10
+    cfg = load_config().with_(N=N, use_net=False)
+    model = ManipulatorModel(cfg)
+    ctrl = get_controller("naive", model, N=N)
+    replan_ctrl = get_guess_controller("naive", model, N=20, rti_iters=10)
+    rp = StallReplanner(replan_ctrl, ctrl, chunk=B, ik_seeds=1)
+
+    sim = ClosedLoopSim(ctrl, backup=None)
+    x0s = sample_initial_states(model, B, margin=0.05)
+    st = sim.initial_state(x0s)
+    rp.maybe_replan(st)
+    # teleport the states 1 cm toward the target in EE terms: fake progress
+    rp.prev_err = rp.prev_err + 0.05
+    st2 = rp.maybe_replan(st)
+    assert rp.n_replans == 0
+    assert st2 is st
