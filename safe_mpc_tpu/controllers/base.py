@@ -48,6 +48,8 @@ class ControllerState:
     r: jax.Array             # int32 receding index (N if unused)
     current_step: jax.Array  # int32 closed-loop time index (traj window)
     last_status: jax.Array   # int32
+    p_guide: jax.Array       # (3,) EE-reference override (stall guidance)
+    guide_on: jax.Array      # bool: use p_guide instead of the task ref
 
 
 @jax.tree_util.register_dataclass
@@ -114,7 +116,9 @@ class MPCController:
             fails=jnp.zeros((), jnp.int32),
             r=jnp.asarray(self.N, jnp.int32),
             current_step=jnp.zeros((), jnp.int32),
-            last_status=jnp.full((), 4, jnp.int32))
+            last_status=jnp.full((), 4, jnp.int32),
+            p_guide=jnp.zeros(3, dtype),
+            guide_on=jnp.zeros((), bool))
 
     def set_guess(self, state: ControllerState, xg, ug) -> ControllerState:
         # reference setGuess also refreshes x_viable (controller.py:390-393)
@@ -126,7 +130,13 @@ class MPCController:
         tr = jnp.asarray(self.traj, dtype)           # (3, T)
         w = jax.lax.dynamic_slice_in_dim(
             tr, state.current_step, self.N + 1, axis=1)
-        return w.T                                    # (N+1, 3)
+        # stall-guidance override (sim/replan.py): a via point on an
+        # accepted long-horizon plan replaces the task reference until
+        # the plan is consumed; constraints are untouched, so the safety
+        # machinery is identical under guidance
+        return jnp.where(state.guide_on,
+                         jnp.tile(state.p_guide[None], (self.N + 1, 1)),
+                         w.T)                         # (N+1, 3)
 
     def schedule(self, state: ControllerState) -> NodeSchedule:
         dtype = state.xg.dtype

@@ -287,6 +287,10 @@ class ClosedLoopSim:
             plant_params = jax.tree.map(
                 lambda a: jnp.tile(a[None], (B,) + (1,) * a.ndim),
                 model.robot.default_params)
+        # plant params must match the state dtype (an f32 loop with f64
+        # default params would promote the scan carry)
+        plant_params = jax.tree.map(
+            lambda a: jnp.asarray(a, x0s.dtype), plant_params)
         st0 = self.initial_state(x0s, xg, ug, keys)
 
         def scan_step(st, _):

@@ -56,8 +56,8 @@ class StallReplanner:
                  target_ctrl: MPCController,
                  progress_tol: float = 2e-3, chunk: int = 16,
                  ik_starts: int = 32, ik_seeds: int = 4,
-                 sqp_iters: int = 60, qp_iters: int = 25,
-                 accept_margin: float = 5e-3):
+                 sqp_iters: int = 150, qp_iters: int = 40,
+                 accept_margin: float = 5e-3, lookahead: int = 60):
         self.replan = replan_ctrl
         self.ctrl = target_ctrl
         self.model = replan_ctrl.model
@@ -66,9 +66,14 @@ class StallReplanner:
         self.sqp_iters = int(sqp_iters)
         self.qp_iters = int(qp_iters)
         self.accept_margin = float(accept_margin)
+        self.lookahead = int(lookahead)
         self.prev_err: np.ndarray | None = None
         self.n_replans = 0
         self.n_accepted = 0
+        # per-problem plan store (lazily sized to the batch)
+        self.plan_ee: np.ndarray | None = None
+        self.plan_active: np.ndarray | None = None
+        self.plan_ptr: np.ndarray | None = None
 
         # IK solutions of the (shared) target, computed once: diverse
         # collision-free rest configurations reaching ee_ref
@@ -146,19 +151,68 @@ class StallReplanner:
                     zip(cand, best))
         return best
 
+    # ------------------------------------------------------- plan tracking
+
+    def _ensure_plan_store(self, B):
+        if self.plan_ee is None:
+            T = self.replan.N + 1
+            self.plan_ee = np.zeros((B, T, 3))
+            self.plan_active = np.zeros(B, bool)
+            self.plan_ptr = np.zeros(B, int)
+
+    def _update_guidance(self, st: SimState, ee, err):
+        """Pure pursuit along accepted plans: the via point slides to
+        `lookahead` nodes past the nearest plan node; when the plan is
+        consumed (or abandoned for lack of progress along it), guidance
+        clears and the true task reference takes over."""
+        B = ee.shape[0]
+        p_guide = np.asarray(st.ctrl.p_guide).copy()
+        guide_on = np.asarray(st.ctrl.guide_on).copy()
+        freshly_stalled = np.zeros(B, bool)
+        T = self.replan.N
+        for i in np.flatnonzero(self.plan_active):
+            d = np.linalg.norm(self.plan_ee[i] - ee[i][None], axis=1)
+            near = int(np.argmin(d))
+            if near <= self.plan_ptr[i] - 1 and d[near] > 0.08:
+                # diverged from the plan and not advancing -> abandon
+                self.plan_active[i] = False
+                guide_on[i] = False
+                freshly_stalled[i] = True
+                continue
+            self.plan_ptr[i] = max(self.plan_ptr[i], near)
+            tgt = min(near + self.lookahead, T)
+            if tgt >= T and (d[T] < 0.03 or err[i] < 0.03):
+                self.plan_active[i] = False    # plan consumed
+                guide_on[i] = False
+            else:
+                p_guide[i] = self.plan_ee[i, tgt]
+                guide_on[i] = True
+        ctrl_new = dataclasses.replace(
+            st.ctrl, p_guide=jnp.asarray(p_guide, st.ctrl.xg.dtype),
+            guide_on=jnp.asarray(guide_on))
+        return dataclasses.replace(st, ctrl=ctrl_new), freshly_stalled
+
     # ------------------------------------------------------------- hook
 
     def maybe_replan(self, st: SimState, verbose: bool = False) -> SimState:
-        """Between-segment hook: detect stalls, replan, splice guesses."""
+        """Between-segment hook: advance guidance on active plans, detect
+        stalls, replan, splice guesses + set guidance."""
         model = self.model
+        B = st.x.shape[0]
+        self._ensure_plan_store(B)
         ee = np.asarray(jax.vmap(model.ee_pos)(st.x))
         err = np.linalg.norm(ee - np.asarray(model.ee_ref)[None], axis=1)
+        st, abandoned = self._update_guidance(st, ee, err)
         if self.prev_err is None:
             self.prev_err = err
             return st
         running = np.asarray(st.mode) == MODE_MPC
+        # guided problems are judged by progress ALONG the plan (handled
+        # in _update_guidance); unguided ones by progress toward the task
         stalled = running & (err > model.cfg.tol_conv) \
-            & (self.prev_err - err < self.progress_tol)
+            & (self.prev_err - err < self.progress_tol) \
+            & ~self.plan_active
+        stalled |= running & abandoned
         self.prev_err = err
         idx = np.flatnonzero(stalled)
         if idx.size == 0:
@@ -181,16 +235,27 @@ class StallReplanner:
             if not accept.any():
                 continue
             self.n_accepted += int(accept.sum())
-            xg_new = np.asarray(
-                jax.tree.map(np.asarray, st.ctrl.xg)).copy()
+            acc_sel = sel[ok[:sel.size]]
+            xg_new = np.asarray(st.ctrl.xg).copy()
             ug_new = np.asarray(st.ctrl.ug).copy()
-            xg_new[sel[ok[:sel.size]]] = np.asarray(
-                xs[:sel.size, :N + 1])[ok[:sel.size]]
-            ug_new[sel[ok[:sel.size]]] = np.asarray(
-                us[:sel.size, :N])[ok[:sel.size]]
+            xg_new[acc_sel] = np.asarray(xs[:sel.size, :N + 1])[ok[:sel.size]]
+            ug_new[acc_sel] = np.asarray(us[:sel.size, :N])[ok[:sel.size]]
+            # record the accepted plans' EE paths and start guidance
+            plan_x = np.asarray(xs[:sel.size])[ok[:sel.size]]
+            plan_ee = np.asarray(jax.vmap(jax.vmap(model.ee_pos))(
+                jnp.asarray(plan_x)))
+            self.plan_ee[acc_sel] = plan_ee
+            self.plan_active[acc_sel] = True
+            self.plan_ptr[acc_sel] = 0
+            p_guide = np.asarray(st.ctrl.p_guide).copy()
+            guide_on = np.asarray(st.ctrl.guide_on).copy()
+            p_guide[acc_sel] = plan_ee[:, min(self.lookahead, self.replan.N)]
+            guide_on[acc_sel] = True
             ctrl_new = dataclasses.replace(
                 st.ctrl, xg=jnp.asarray(xg_new), ug=jnp.asarray(ug_new),
                 x_viable=jnp.asarray(xg_new[:, -1]),
+                p_guide=jnp.asarray(p_guide, st.ctrl.xg.dtype),
+                guide_on=jnp.asarray(guide_on),
                 r=jnp.where(jnp.asarray(accept),
                             jnp.asarray(self.ctrl.N, st.ctrl.r.dtype),
                             st.ctrl.r),

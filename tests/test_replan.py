@@ -53,6 +53,20 @@ def test_stall_replan_splices_guesses():
     assert st2.ctrl.xg.shape == st1.ctrl.xg.shape
     assert st2.ctrl.ug.shape == st1.ctrl.ug.shape
 
+    # accepted problems got guidance: a via point on the plan's EE path
+    assert np.all(np.asarray(st2.ctrl.guide_on)[changed])
+    assert rp.plan_active[changed].all()
+    # the guidance clears once the plan is consumed: emulate arrival by
+    # collapsing a plan onto the current EE (nearest node = plan end,
+    # within the 3 cm consumption window)
+    i = changed[0]
+    ee_i = np.asarray(jax.vmap(model.ee_pos)(st2.x))[i]
+    rp.plan_ee[i] = np.tile(ee_i, (rp.plan_ee.shape[1], 1))
+    rp.prev_err = rp.prev_err + 0.05   # fake progress: no fresh replan
+    st3 = rp.maybe_replan(st2)
+    assert not bool(np.asarray(st3.ctrl.guide_on)[i])
+    assert not rp.plan_active[i]
+
 
 def test_replan_noop_when_progressing():
     B, N = 2, 10
