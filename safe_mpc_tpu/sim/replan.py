@@ -166,6 +166,8 @@ class StallReplanner:
         consumed (or abandoned for lack of progress along it), guidance
         clears and the true task reference takes over."""
         B = ee.shape[0]
+        if not self.plan_active.any():
+            return st, np.zeros(B, bool)
         p_guide = np.asarray(st.ctrl.p_guide).copy()
         guide_on = np.asarray(st.ctrl.guide_on).copy()
         freshly_stalled = np.zeros(B, bool)
