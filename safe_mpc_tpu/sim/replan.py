@@ -34,7 +34,7 @@ import numpy as np
 
 from ..controllers.base import MPCController
 from ..ops.sqp import sqp_solve_batched
-from ..tasks.ik import solve_ik_multistart
+from ..tasks.ik import solve_ik_diverse
 from .closed_loop import MODE_MPC, SimState, _tree_where_b
 
 
@@ -75,32 +75,36 @@ class StallReplanner:
         self.plan_active: np.ndarray | None = None
         self.plan_ptr: np.ndarray | None = None
 
-        # IK solutions of the (shared) target, computed once: diverse
-        # collision-free rest configurations reaching ee_ref
+        # IK anchors of the (shared) target, computed once: PAIRWISE
+        # -DISTINCT arm branches reaching ee_ref — the deep wedges are
+        # arm-configuration traps, so each replan round seeds a
+        # different branch (round-robin below)
         model = self.model
-        sols = []
-        for s in range(ik_seeds):
-            x_ik, ok = solve_ik_multistart(
-                model, jnp.asarray(model.ee_ref), n_starts=ik_starts,
-                key=jax.random.PRNGKey(1234 + s))
-            if bool(ok):
-                sols.append(np.asarray(x_ik))
-        self.q_iks = np.stack(sols) if sols else None
+        sols = solve_ik_diverse(model, jnp.asarray(model.ee_ref),
+                                n_anchors=max(2, ik_seeds),
+                                n_starts=max(ik_starts, 64))
+        self.q_iks = sols if len(sols) else None
+        self.round = 0
         self._solve = jax.jit(self._solve_impl)
 
     # ------------------------------------------------------------- guesses
 
-    def _ik_guess(self, x0s):
-        """Joint-space cosine interpolation from each stalled q to its
-        NEAREST IK solution; velocities by finite difference."""
+    def _ik_guess(self, x0s, anchor: int | None = None):
+        """Joint-space cosine interpolation from each stalled q to an IK
+        anchor (anchor index, or the nearest if None); velocities by
+        finite difference."""
         model = self.model
         nq = model.nq
         Nr = self.replan.N
         dt = model.cfg.dt
         x0s = np.asarray(x0s)
-        d = np.linalg.norm(x0s[:, None, :nq] - self.q_iks[None, :, :nq],
-                           axis=2)
-        pick = self.q_iks[np.argmin(d, axis=1)]          # (B, nx)
+        if anchor is None:
+            d = np.linalg.norm(x0s[:, None, :nq] - self.q_iks[None, :, :nq],
+                               axis=2)
+            pick = self.q_iks[np.argmin(d, axis=1)]      # (B, nx)
+        else:
+            pick = np.tile(self.q_iks[anchor % len(self.q_iks)][None],
+                           (x0s.shape[0], 1))
         t = 0.5 * (1 - np.cos(np.linspace(0.0, np.pi, Nr + 1)))
         qg = x0s[:, None, :nq] \
             + t[None, :, None] * (pick[:, None, :nq] - x0s[:, None, :nq])
@@ -132,11 +136,15 @@ class StallReplanner:
         return res.xs, res.us, res.status, errs
 
     def _replan_chunk(self, x0s):
-        """Returns (xs, us, ok, err_T) best-of-both-guesses per problem."""
+        """Returns (xs, us, ok, err_T), best over the cold-hold guess and
+        two IK-branch guesses (nearest + the round-robin branch — the
+        rotation tries every distinct arm branch across replan rounds)."""
         best = None
         guesses = [self._hold_guess(x0s)]
         if self.q_iks is not None:
             guesses.append(self._ik_guess(x0s))
+            if len(self.q_iks) > 1:
+                guesses.append(self._ik_guess(x0s, anchor=self.round))
         for xg, ug in guesses:
             xs, us, status, errs = self._solve(xg, ug, x0s)
             ok = status == 0
@@ -183,8 +191,11 @@ class StallReplanner:
                 continue
             self.plan_ptr[i] = max(self.plan_ptr[i], near)
             tgt = min(near + self.lookahead, T)
-            if tgt >= T and (d[T] < 0.03 or err[i] < 0.03):
-                self.plan_active[i] = False    # plan consumed
+            if err[i] < 0.03 or (tgt >= T and d[T] < 0.03):
+                # near the target (or plan consumed): hand over to the
+                # true task reference — the greedy basin converges from
+                # here (fixed-point evidence, scripts_dev/diag_fixedpoint)
+                self.plan_active[i] = False
                 guide_on[i] = False
             else:
                 p_guide[i] = self.plan_ee[i, tgt]
@@ -205,6 +216,7 @@ class StallReplanner:
         ee = np.asarray(jax.vmap(model.ee_pos)(st.x))
         err = np.linalg.norm(ee - np.asarray(model.ee_ref)[None], axis=1)
         st, abandoned = self._update_guidance(st, ee, err)
+        self.round += 1
         if self.prev_err is None:
             self.prev_err = err
             return st

@@ -68,3 +68,33 @@ def solve_ik_multistart(model: ManipulatorModel, target, n_starts: int = 16,
     errs = jnp.where(oks, errs, jnp.inf)
     best = jnp.argmin(errs)
     return xs[best], oks[best]
+
+
+def solve_ik_diverse(model: ManipulatorModel, target, n_anchors: int = 6,
+                     n_starts: int = 64, min_sep: float = 0.5, key=None):
+    """Up to `n_anchors` PAIRWISE-DISTINCT collision-free IK solutions
+    (greedy farthest-point selection over converged multistarts, q-space
+    separation >= min_sep rad). Deep OCP wedges are arm-CONFIGURATION
+    traps — escaping needs a different arm branch, so replanning
+    (sim/replan.py) seeds one guess per distinct branch."""
+    import numpy as np
+
+    nq = model.nq
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    lo = jnp.asarray(model.x_min[:nq])
+    hi = jnp.asarray(model.x_max[:nq])
+    qs = jax.random.uniform(key, (n_starts, nq), minval=lo, maxval=hi,
+                            dtype=lo.dtype)
+    xs, oks = jax.vmap(lambda q: solve_ik(model, target, q))(qs)
+    xs = np.asarray(xs)[np.asarray(oks)]
+    if xs.shape[0] == 0:
+        return np.zeros((0, model.nx))
+    picked = [xs[0]]
+    for x in xs[1:]:
+        d = min(np.linalg.norm(x[:nq] - p[:nq]) for p in picked)
+        if d >= min_sep:
+            picked.append(x)
+        if len(picked) >= n_anchors:
+            break
+    return np.stack(picked)
