@@ -129,7 +129,8 @@ def main(argv=None):
 
     if replanner is not None:
         print(f"replans: {replanner.n_replans} solved, "
-              f"{replanner.n_accepted} accepted")
+              f"{replanner.n_accepted} accepted, "
+              f"{replanner.n_brakes} brake splices")
     print(f"Completed task: {len(res.conv_idx)}"
           f"\nCollisions: {len(res.collisions_idx)}"
           f"\nViable states: {len(res.viable_idx)}"

@@ -70,6 +70,7 @@ class StallReplanner:
         self.prev_err: np.ndarray | None = None
         self.n_replans = 0
         self.n_accepted = 0
+        self.n_brakes = 0
         # per-problem plan store (lazily sized to the batch)
         self.plan_ee: np.ndarray | None = None
         self.plan_active: np.ndarray | None = None
@@ -133,12 +134,16 @@ class StallReplanner:
         ee_T = jax.vmap(self.model.ee_pos)(res.xs[:, -1])
         errs = jnp.linalg.norm(
             ee_T - jnp.asarray(self.model.ee_ref, x0s.dtype)[None], axis=1)
-        return res.xs, res.us, res.status, errs
+        return res.xs, res.us, res.status, errs, res.qp_viol
 
     def _replan_chunk(self, x0s):
-        """Returns (xs, us, ok, err_T), best over the cold-hold guess and
-        two IK-branch guesses (nearest + the round-robin branch — the
-        rotation tries every distinct arm branch across replan rounds)."""
+        """Returns (xs, us, feasible, err_T, viol), best over the cold
+        -hold guess and two IK-branch guesses (nearest + the round-robin
+        branch — the rotation tries every distinct arm branch across
+        replan rounds). "Best" prefers feasible plans, then lower
+        terminal error; a NEAR-feasible plan that reaches the target is
+        still kept (viol reported) because guidance is pure cost shaping
+        — the closed-loop MPC enforces its own constraints."""
         best = None
         guesses = [self._hold_guess(x0s)]
         if self.q_iks is not None:
@@ -146,14 +151,16 @@ class StallReplanner:
             if len(self.q_iks) > 1:
                 guesses.append(self._ik_guess(x0s, anchor=self.round))
         for xg, ug in guesses:
-            xs, us, status, errs = self._solve(xg, ug, x0s)
+            xs, us, status, errs, viol = self._solve(xg, ug, x0s)
             ok = status == 0
-            cand = (xs, us, ok, errs)
+            cand = (xs, us, ok, errs, viol)
             if best is None:
                 best = cand
             else:
-                better = jnp.logical_and(
-                    ok, jnp.logical_or(~best[2], errs < best[3]))
+                # feasible beats infeasible; ties break on terminal err
+                better = jnp.logical_or(
+                    jnp.logical_and(ok, ~best[2]),
+                    jnp.logical_and(ok == best[2], errs < best[3]))
                 best = tuple(
                     _tree_where_b(better, c, b) for c, b in
                     zip(cand, best))
@@ -217,6 +224,33 @@ class StallReplanner:
         err = np.linalg.norm(ee - np.asarray(model.ee_ref)[None], axis=1)
         st, abandoned = self._update_guidance(st, ee, err)
         self.round += 1
+
+        # ---- terminal brake splice: a replan/guidance detour can leave
+        # the arm COASTING in the EE null space at the target (EE err
+        # ~1e-4, |v| ~0.25 rad/s — free under the EE-only cost, and the
+        # LM term anchors each tick to the previous coasting plan) until
+        # a joint limit drags the EE off. Splicing a hold guess (ug = 0;
+        # guess_correction re-rolls it through the dynamics) makes the
+        # next RTI brake to rest ON target.
+        nq = self.model.nq
+        vmax = np.abs(np.asarray(st.x)[:, nq:]).max(axis=1)
+        running0 = np.asarray(st.mode) == MODE_MPC
+        coast = running0 & (err < 5e-3) & (vmax > 0.05)
+        if coast.any():
+            xg_new = np.asarray(st.ctrl.xg).copy()
+            ug_new = np.asarray(st.ctrl.ug).copy()
+            guide_on = np.asarray(st.ctrl.guide_on).copy()
+            for i in np.flatnonzero(coast):
+                xg_new[i] = np.tile(np.asarray(st.x)[i],
+                                    (self.ctrl.N + 1, 1))
+                ug_new[i] = 0.0
+                self.plan_active[i] = False
+                guide_on[i] = False
+            self.n_brakes += int(coast.sum())
+            st = dataclasses.replace(st, ctrl=dataclasses.replace(
+                st.ctrl, xg=jnp.asarray(xg_new), ug=jnp.asarray(ug_new),
+                x_viable=jnp.asarray(xg_new[:, -1]),
+                guide_on=jnp.asarray(guide_on)))
         if self.prev_err is None:
             self.prev_err = err
             return st
@@ -238,47 +272,57 @@ class StallReplanner:
             pad = self.chunk - sel.size
             sel_p = np.concatenate([sel, np.repeat(sel[:1], pad)])
             x0s = jnp.asarray(np.asarray(st.x)[sel_p])
-            xs, us, ok, err_T = self._replan_chunk(x0s)
-            ok = np.asarray(ok) & (np.asarray(err_T)
-                                   < err[sel_p] - self.accept_margin)
+            xs, us, feas, err_T, viol = self._replan_chunk(x0s)
+            feas = np.asarray(feas)
+            err_T = np.asarray(err_T)
+            viol = np.asarray(viol)
+            improve = err_T < err[sel_p] - self.accept_margin
+            # tier 1: feasible plan -> guess splice + guidance
+            ok_s = feas & improve
+            # tier 2: near-feasible plan that reaches the target region ->
+            # GUIDANCE ONLY (cost shaping; constraints stay with the MPC)
+            ok_g = ~feas & improve & (viol < 0.05) & (err_T < 0.05)
             self.n_replans += sel.size
-            # splice accepted plans' first N nodes as the new guess
-            # (set_guess semantics: x_viable refreshes to xg[-1])
-            accept = np.zeros(err.shape[0], bool)
-            accept[sel] = ok[:sel.size]
-            if not accept.any():
+            accept_s = np.zeros(err.shape[0], bool)
+            accept_g = np.zeros(err.shape[0], bool)
+            accept_s[sel] = ok_s[:sel.size]
+            accept_g[sel] = ok_g[:sel.size]
+            if not (accept_s.any() or accept_g.any()):
                 continue
-            self.n_accepted += int(accept.sum())
-            acc_sel = sel[ok[:sel.size]]
+            self.n_accepted += int(accept_s.sum() + accept_g.sum())
+            ok_any = ok_s | ok_g
+            any_sel = sel[ok_any[:sel.size]]
+            # guess splice (tier 1 only; set_guess semantics)
             xg_new = np.asarray(st.ctrl.xg).copy()
             ug_new = np.asarray(st.ctrl.ug).copy()
-            xg_new[acc_sel] = np.asarray(xs[:sel.size, :N + 1])[ok[:sel.size]]
-            ug_new[acc_sel] = np.asarray(us[:sel.size, :N])[ok[:sel.size]]
-            # record the accepted plans' EE paths and start guidance
-            plan_x = np.asarray(xs[:sel.size])[ok[:sel.size]]
+            s_sel = sel[ok_s[:sel.size]]
+            xg_new[s_sel] = np.asarray(xs[:sel.size, :N + 1])[ok_s[:sel.size]]
+            ug_new[s_sel] = np.asarray(us[:sel.size, :N])[ok_s[:sel.size]]
+            # plans' EE paths + guidance (both tiers)
+            plan_x = np.asarray(xs[:sel.size])[ok_any[:sel.size]]
             plan_ee = np.asarray(jax.vmap(jax.vmap(model.ee_pos))(
                 jnp.asarray(plan_x)))
-            self.plan_ee[acc_sel] = plan_ee
-            self.plan_active[acc_sel] = True
-            self.plan_ptr[acc_sel] = 0
+            self.plan_ee[any_sel] = plan_ee
+            self.plan_active[any_sel] = True
+            self.plan_ptr[any_sel] = 0
             p_guide = np.asarray(st.ctrl.p_guide).copy()
             guide_on = np.asarray(st.ctrl.guide_on).copy()
-            p_guide[acc_sel] = plan_ee[:, min(self.lookahead, self.replan.N)]
-            guide_on[acc_sel] = True
+            p_guide[any_sel] = plan_ee[:, min(self.lookahead, self.replan.N)]
+            guide_on[any_sel] = True
             ctrl_new = dataclasses.replace(
                 st.ctrl, xg=jnp.asarray(xg_new), ug=jnp.asarray(ug_new),
                 x_viable=jnp.asarray(xg_new[:, -1]),
                 p_guide=jnp.asarray(p_guide, st.ctrl.xg.dtype),
                 guide_on=jnp.asarray(guide_on),
-                r=jnp.where(jnp.asarray(accept),
+                r=jnp.where(jnp.asarray(accept_s),
                             jnp.asarray(self.ctrl.N, st.ctrl.r.dtype),
                             st.ctrl.r),
-                fails=jnp.where(jnp.asarray(accept),
+                fails=jnp.where(jnp.asarray(accept_s),
                                 jnp.zeros_like(st.ctrl.fails),
                                 st.ctrl.fails))
             st = dataclasses.replace(st, ctrl=ctrl_new)
             if verbose:
-                print(f"  replan: {int(accept.sum())}/{sel.size} accepted "
-                      f"(chunk err {np.round(np.asarray(err_T)[:sel.size], 4)})",
-                      flush=True)
+                print(f"  replan: {int(accept_s.sum())} spliced + "
+                      f"{int(accept_g.sum())} guide-only / {sel.size} "
+                      f"(err {np.round(err_T[:sel.size], 4)})", flush=True)
         return st
