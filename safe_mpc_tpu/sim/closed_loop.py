@@ -292,6 +292,8 @@ class ClosedLoopSim:
         plant_params = jax.tree.map(
             lambda a: jnp.asarray(a, x0s.dtype), plant_params)
         st0 = self.initial_state(x0s, xg, ug, keys)
+        if replanner is not None:
+            st0 = replanner.seed_plans(st0, verbose=verbose)
 
         def scan_step(st, _):
             st2, log = self.step(st, plant_params)

@@ -86,14 +86,27 @@ class StallReplanner:
                                 n_starts=max(ik_starts, 64))
         self.q_iks = sols if len(sols) else None
         self.round = 0
-        self._solve = jax.jit(self._solve_impl)
+        self._solve = jax.jit(lambda xg, ug, x0s: self._solve_impl(
+            self.replan, xg, ug, x0s))
+        # escape spec WITHOUT safe-set rows (collision/torque/bounds
+        # only): measured, the NN safe rows block the branch-swap
+        # detours in f32 that the bare spec solves; the closed-loop MPC
+        # keeps its own full constraint stack regardless
+        self._escape_ctrl = MPCController(self.model, N=replan_ctrl.N,
+                                          lm=1e-3)
+        self._solve_esc = jax.jit(lambda xg, ug, x0s: self._solve_impl(
+            self._escape_ctrl, xg, ug, x0s))
 
     # ------------------------------------------------------------- guesses
 
     def _ik_guess(self, x0s, anchor: int | None = None):
-        """Joint-space cosine interpolation from each stalled q to an IK
-        anchor (anchor index, or the nearest if None); velocities by
-        finite difference."""
+        """DYNAMICS-CONSISTENT branch-swap guess: a PD controller tracks
+        the cosine joint path to an IK anchor through the true double
+        integrator, so the guess has ZERO dynamics defects. (A purely
+        kinematic guess carries O(1) defects, and with merit_rho = 1e4
+        the f32 L1 merit saturates its ~7 significant digits — measured:
+        the same seeds solve in f64 and fail in f32 until the defects
+        are removed.)"""
         model = self.model
         nq = model.nq
         Nr = self.replan.N
@@ -107,14 +120,23 @@ class StallReplanner:
             pick = np.tile(self.q_iks[anchor % len(self.q_iks)][None],
                            (x0s.shape[0], 1))
         t = 0.5 * (1 - np.cos(np.linspace(0.0, np.pi, Nr + 1)))
-        qg = x0s[:, None, :nq] \
+        q_ref = x0s[:, None, :nq] \
             + t[None, :, None] * (pick[:, None, :nq] - x0s[:, None, :nq])
-        vg = np.gradient(qg, dt, axis=1)
-        vg[:, 0] = x0s[:, nq:]
-        xg = np.concatenate([qg, vg], axis=2)
-        ug = (vg[:, 1:] - vg[:, :-1]) / dt
-        return jnp.asarray(xg, jnp.asarray(x0s).dtype), \
-            jnp.asarray(ug, jnp.asarray(x0s).dtype)
+        v_ref = np.gradient(q_ref, dt, axis=1)
+        B = x0s.shape[0]
+        xs = np.zeros((B, Nr + 1, 2 * nq), np.float32)
+        us = np.zeros((B, Nr, nq), np.float32)
+        xs[:, 0] = x0s
+        for k in range(Nr):
+            q, v = xs[:, k, :nq], xs[:, k, nq:]
+            a_ff = (v_ref[:, k + 1] - v_ref[:, k]) / dt if k + 1 < Nr else 0.0
+            u = np.clip(a_ff + 400.0 * (q_ref[:, k] - q)
+                        + 40.0 * (v_ref[:, k] - v), -40.0, 40.0)
+            us[:, k] = u
+            xs[:, k + 1, :nq] = q + dt * v + 0.5 * dt * dt * u
+            xs[:, k + 1, nq:] = v + dt * u
+        dtype = jnp.asarray(x0s).dtype
+        return jnp.asarray(xs, dtype), jnp.asarray(us, dtype)
 
     def _hold_guess(self, x0s):
         """Constant-state cold start (the reference's initializer shape)."""
@@ -125,10 +147,10 @@ class StallReplanner:
 
     # ------------------------------------------------------------- solving
 
-    def _solve_impl(self, xg, ug, x0s):
-        sched = jax.vmap(lambda x: self.replan.schedule(
-            self.replan.initial_state(x)))(x0s)
-        res = sqp_solve_batched(self.replan.spec, xg, ug, x0s, sched,
+    def _solve_impl(self, ctrl, xg, ug, x0s):
+        sched = jax.vmap(lambda x: ctrl.schedule(
+            ctrl.initial_state(x)))(x0s)
+        res = sqp_solve_batched(ctrl.spec, xg, ug, x0s, sched,
                                 max_iters=self.sqp_iters,
                                 qp_iters=self.qp_iters)
         ee_T = jax.vmap(self.model.ee_pos)(res.xs[:, -1])
@@ -145,13 +167,14 @@ class StallReplanner:
         still kept (viol reported) because guidance is pure cost shaping
         — the closed-loop MPC enforces its own constraints."""
         best = None
-        guesses = [self._hold_guess(x0s)]
+        guesses = [(self._hold_guess(x0s), self._solve)]
         if self.q_iks is not None:
-            guesses.append(self._ik_guess(x0s))
+            guesses.append((self._ik_guess(x0s), self._solve))
             if len(self.q_iks) > 1:
-                guesses.append(self._ik_guess(x0s, anchor=self.round))
-        for xg, ug in guesses:
-            xs, us, status, errs, viol = self._solve(xg, ug, x0s)
+                guesses.append((self._ik_guess(x0s, anchor=self.round),
+                                self._solve_esc))
+        for (xg, ug), solver in guesses:
+            xs, us, status, errs, viol = solver(xg, ug, x0s)
             ok = status == 0
             cand = (xs, us, ok, errs, viol)
             if best is None:
@@ -265,7 +288,29 @@ class StallReplanner:
         idx = np.flatnonzero(stalled)
         if idx.size == 0:
             return st
+        return self._replan_and_splice(st, idx, err, verbose)
 
+    def seed_plans(self, st: SimState, verbose: bool = False) -> SimState:
+        """t=0 seeding: solve a long-horizon to-target plan for EVERY
+        problem from its initial state (rest, open space — far easier
+        than from a wedged state) and guide accepted plans from the
+        first tick. "Plan first, then track": the deep wedges form
+        because greedy descent ENTERS them; a reaching plan avoids the
+        entry instead of needing an escape."""
+        model = self.model
+        B = st.x.shape[0]
+        self._ensure_plan_store(B)
+        ee = np.asarray(jax.vmap(model.ee_pos)(st.x))
+        err = np.linalg.norm(ee - np.asarray(model.ee_ref)[None], axis=1)
+        self.prev_err = err
+        idx = np.flatnonzero(err > max(0.02, 2 * model.cfg.tol_conv))
+        if idx.size == 0:
+            return st
+        return self._replan_and_splice(st, idx, err, verbose)
+
+    def _replan_and_splice(self, st: SimState, idx, err,
+                           verbose: bool = False) -> SimState:
+        model = self.model
         N = self.ctrl.N
         for a in range(0, idx.size, self.chunk):
             sel = idx[a:a + self.chunk]
