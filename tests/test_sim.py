@@ -63,17 +63,26 @@ def test_sim_with_noise_ensemble(model):
 
 
 class AbortAtStep(STWAController):
-    """Deterministic abort at a fixed step — drives the sim's abort path."""
+    """Deterministic abort at a fixed step — drives the sim's abort path.
+    Overrides BOTH controller entry points (the sim's hot path is
+    step_batched; vmapped step is the reference-semantics oracle)."""
 
     abort_at = 4
 
-    def step(self, state, x):
-        res = super().step(state, x)
-        trigger = state.current_step == self.abort_at
+    def _with_trigger(self, res, current_step):
+        trigger = current_step == self.abort_at
         return StepResult(
             u=res.u, abort=jnp.logical_or(res.abort, trigger),
             state=res.state, status=res.status,
             x_temp=res.x_temp, u_temp=res.u_temp)
+
+    def step(self, state, x):
+        return self._with_trigger(super().step(state, x),
+                                  state.current_step)
+
+    def step_batched(self, states, xs):
+        return self._with_trigger(super().step_batched(states, xs),
+                                  states.current_step)
 
 
 def test_abort_backup_and_recovery(model):
