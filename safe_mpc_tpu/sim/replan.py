@@ -258,7 +258,13 @@ class StallReplanner:
         nq = self.model.nq
         vmax = np.abs(np.asarray(st.x)[:, nq:]).max(axis=1)
         running0 = np.asarray(st.mode) == MODE_MPC
-        coast = running0 & (err < 5e-3) & (vmax > 0.05)
+        # only brake NON-IMPROVING problems: an approacher crossing into
+        # the 5 mm radius at speed is finishing, not coasting — braking
+        # it mid-approach sets up a brake/re-approach oscillation that
+        # parks problems 1-6 mm off target (measured, flagship round 4)
+        no_prog = (self.prev_err - err < 2e-4) \
+            if self.prev_err is not None else np.zeros(len(err), bool)
+        coast = running0 & (err < 5e-3) & (vmax > 0.05) & no_prog
         if coast.any():
             xg_new = np.asarray(st.ctrl.xg).copy()
             ug_new = np.asarray(st.ctrl.ug).copy()
