@@ -56,6 +56,8 @@ def test_net_certified_states_admit_braking():
     # verified certificate).
     assert inside.sum() >= n * 0.7, f"net rejected too many: {inside}"
     ok = feas[inside]
-    assert ok.mean() >= 0.9, (
+    # boundary-focused retrained checkpoint measures 1.00 at n=96
+    # (scripts_dev/diag_safeset_quality.py); assert the VERDICT target
+    assert ok.mean() >= 0.99, (
         f"recursive feasibility violated: {ok.sum()}/{len(ok)} certified "
         f"states brakeable")
