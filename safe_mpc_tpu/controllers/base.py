@@ -48,8 +48,10 @@ class ControllerState:
     r: jax.Array             # int32 receding index (N if unused)
     current_step: jax.Array  # int32 closed-loop time index (traj window)
     last_status: jax.Array   # int32
-    p_guide: jax.Array       # (3,) EE-reference override (stall guidance)
-    guide_on: jax.Array      # bool: use p_guide instead of the task ref
+    p_guide: jax.Array       # (P, 3) EE guidance plan (stall guidance);
+    #                          P = controller.guide_len (1 = static point)
+    plan_ptr: jax.Array      # int32 current node on the guidance plan
+    guide_on: jax.Array      # bool: track p_guide instead of the task ref
 
 
 @jax.tree_util.register_dataclass
@@ -82,11 +84,15 @@ class MPCController:
     def __init__(self, model: ManipulatorModel, N: int | None = None,
                  safe_set=None, rti_iters: int | None = None,
                  qp_iters: int = 25, traj: np.ndarray | None = None,
-                 **spec_kw):
+                 guide_len: int = 1, **spec_kw):
         cfg = model.cfg
         self.model = model
         self.cfg = cfg
         self.N = int(N if N is not None else cfg.N)
+        # guidance-plan buffer length P: 1 = a single static via point;
+        # >1 = a timed EE path tracked node-by-node (sim/replan.py sets
+        # P = replan_N + 1 so each MPC node i tracks plan node ptr + i)
+        self.guide_len = int(guide_len)
         if self.uses_safe_set and safe_set is None:
             safe_set = create_safe_set(model)
         self.safe_set = safe_set if self.uses_safe_set else None
@@ -117,7 +123,8 @@ class MPCController:
             r=jnp.asarray(self.N, jnp.int32),
             current_step=jnp.zeros((), jnp.int32),
             last_status=jnp.full((), 4, jnp.int32),
-            p_guide=jnp.zeros(3, dtype),
+            p_guide=jnp.zeros((self.guide_len, 3), dtype),
+            plan_ptr=jnp.zeros((), jnp.int32),
             guide_on=jnp.zeros((), bool))
 
     def set_guess(self, state: ControllerState, xg, ug) -> ControllerState:
@@ -130,12 +137,16 @@ class MPCController:
         tr = jnp.asarray(self.traj, dtype)           # (3, T)
         w = jax.lax.dynamic_slice_in_dim(
             tr, state.current_step, self.N + 1, axis=1)
-        # stall-guidance override (sim/replan.py): a via point on an
-        # accepted long-horizon plan replaces the task reference until
-        # the plan is consumed; constraints are untouched, so the safety
-        # machinery is identical under guidance
-        return jnp.where(state.guide_on,
-                         jnp.tile(state.p_guide[None], (self.N + 1, 1)),
+        # stall-guidance override (sim/replan.py): an accepted long
+        # -horizon plan's EE path replaces the task reference until the
+        # plan is consumed — node i tracks plan node plan_ptr + i (the
+        # same time-varying-p machinery as the tracking tasks, made per
+        # -problem), so the MPC follows the plan's route AND timing
+        # instead of pursuing a distant point. Constraints are
+        # untouched: the safety machinery is identical under guidance.
+        idx = jnp.clip(state.plan_ptr + jnp.arange(self.N + 1),
+                       0, self.guide_len - 1)
+        return jnp.where(state.guide_on, state.p_guide[idx],
                          w.T)                         # (N+1, 3)
 
     def schedule(self, state: ControllerState) -> NodeSchedule:
@@ -249,9 +260,19 @@ class MPCController:
         return StepResult(u=u, abort=jnp.asarray(False), state=state,
                           status=res.status, x_temp=res.xs, u_temp=res.us)
 
+    def _advance_guide(self, state: ControllerState) -> ControllerState:
+        """Advance the guidance-plan pointer one node per tick (no-op
+        when guidance is off or the plan is a static point)."""
+        if self.guide_len <= 1:
+            return state
+        return dataclasses.replace(
+            state,
+            plan_ptr=state.plan_ptr + state.guide_on.astype(jnp.int32))
+
     def step(self, state: ControllerState, x) -> StepResult:
         state = self.guess_correction(state)
         sched = self.schedule(state)
+        state = self._advance_guide(state)
         res = self.solve(state, x, sched)
         return self._post_step(state, sched, res)
 
@@ -263,6 +284,7 @@ class MPCController:
         but ~2-4x faster on TPU — the simulator's hot path."""
         states = jax.vmap(self.guess_correction)(states)
         scheds = jax.vmap(self.schedule)(states)
+        states = jax.vmap(self._advance_guide)(states)
         res = self.solve_batched(states, xs, scheds)
         return jax.vmap(self._post_step)(states, scheds, res)
 
@@ -478,6 +500,7 @@ class ParallelController(RecedingController):
         state = self.guess_correction(state)
         cands = jnp.arange(self.N, 0, -1)             # n = N..1
         scheds = jax.vmap(lambda n: self._schedule_for_n(state, n))(cands)
+        state = self._advance_guide(state)
         ress = jax.vmap(lambda sched: self.solve(state, x, sched))(scheds)
         return self._post_parallel(state, ress, scheds)
 
@@ -491,6 +514,7 @@ class ParallelController(RecedingController):
         cands = jnp.arange(Nc, 0, -1)
         scheds = jax.vmap(lambda s: jax.vmap(
             lambda n: self._schedule_for_n(s, n))(cands))(states)
+        states = jax.vmap(self._advance_guide)(states)
         flat = lambda a: a.reshape((B * Nc,) + a.shape[2:])
         scheds_f = jax.tree.map(flat, scheds)
         states_f = jax.tree.map(lambda a: jnp.repeat(a, Nc, axis=0), states)

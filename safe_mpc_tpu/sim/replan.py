@@ -57,7 +57,7 @@ class StallReplanner:
                  progress_tol: float = 2e-3, chunk: int = 16,
                  ik_starts: int = 32, ik_seeds: int = 4,
                  sqp_iters: int = 150, qp_iters: int = 40,
-                 accept_margin: float = 5e-3, lookahead: int = 60):
+                 accept_margin: float = 5e-3):
         self.replan = replan_ctrl
         self.ctrl = target_ctrl
         self.model = replan_ctrl.model
@@ -66,7 +66,12 @@ class StallReplanner:
         self.sqp_iters = int(sqp_iters)
         self.qp_iters = int(qp_iters)
         self.accept_margin = float(accept_margin)
-        self.lookahead = int(lookahead)
+        # timed-plan guidance: the controller's guidance buffer holds the
+        # FULL plan EE path; each MPC node tracks its own plan node and
+        # the pointer advances one node per tick (controllers/base.py
+        # _traj_window / _advance_guide). MUST be set before the sim's
+        # initial_state sizes the ControllerState buffers.
+        target_ctrl.guide_len = replan_ctrl.N + 1
         self.prev_err: np.ndarray | None = None
         self.n_replans = 0
         self.n_accepted = 0
@@ -199,39 +204,44 @@ class StallReplanner:
             self.plan_ptr = np.zeros(B, int)
 
     def _update_guidance(self, st: SimState, ee, err):
-        """Pure pursuit along accepted plans: the via point slides to
-        `lookahead` nodes past the nearest plan node; when the plan is
-        consumed (or abandoned for lack of progress along it), guidance
-        clears and the true task reference takes over."""
+        """Between-segment plan maintenance: re-time each active plan's
+        pointer to the node nearest the ACTUAL end-effector (the in-jit
+        pointer advances one node per tick, so the MPC may lag or lead
+        the plan's clock), hand over to the true task reference when the
+        plan is consumed or the target is close, and abandon plans the
+        loop has fallen off (feeds the stall replanner)."""
         B = ee.shape[0]
         if not self.plan_active.any():
             return st, np.zeros(B, bool)
-        p_guide = np.asarray(st.ctrl.p_guide).copy()
+        ptr = np.asarray(st.ctrl.plan_ptr).copy()
         guide_on = np.asarray(st.ctrl.guide_on).copy()
         freshly_stalled = np.zeros(B, bool)
         T = self.replan.N
         for i in np.flatnonzero(self.plan_active):
             d = np.linalg.norm(self.plan_ee[i] - ee[i][None], axis=1)
-            near = int(np.argmin(d))
-            if near <= self.plan_ptr[i] - 1 and d[near] > 0.08:
-                # diverged from the plan and not advancing -> abandon
+            # windowed nearest node (the EE path may pass near itself):
+            # the true position is between the last re-time and the
+            # pointer's tick count
+            lo = max(0, min(int(ptr[i]), self.plan_ptr[i]) - 30)
+            hi = min(T, int(ptr[i]) + 30)
+            near = lo + int(np.argmin(d[lo:hi + 1]))
+            if d[near] > 0.08:
+                # fell off the plan -> abandon; the stall logic replans
                 self.plan_active[i] = False
                 guide_on[i] = False
                 freshly_stalled[i] = True
                 continue
-            self.plan_ptr[i] = max(self.plan_ptr[i], near)
-            tgt = min(near + self.lookahead, T)
-            if err[i] < 0.03 or (tgt >= T and d[T] < 0.03):
-                # near the target (or plan consumed): hand over to the
-                # true task reference — the greedy basin converges from
-                # here (fixed-point evidence, scripts_dev/diag_fixedpoint)
+            if err[i] < 0.03 or d[T] < 0.03:
+                # near the target (or the plan's end point reached):
+                # hand over to the true task reference — the greedy
+                # basin converges from here (scripts_dev/diag_fixedpoint)
                 self.plan_active[i] = False
                 guide_on[i] = False
             else:
-                p_guide[i] = self.plan_ee[i, tgt]
-                guide_on[i] = True
+                ptr[i] = near
+                self.plan_ptr[i] = near
         ctrl_new = dataclasses.replace(
-            st.ctrl, p_guide=jnp.asarray(p_guide, st.ctrl.xg.dtype),
+            st.ctrl, plan_ptr=jnp.asarray(ptr, jnp.int32),
             guide_on=jnp.asarray(guide_on))
         return dataclasses.replace(st, ctrl=ctrl_new), freshly_stalled
 
@@ -264,7 +274,12 @@ class StallReplanner:
         # parks problems 1-6 mm off target (measured, flagship round 4)
         no_prog = (self.prev_err - err < 2e-4) \
             if self.prev_err is not None else np.zeros(len(err), bool)
-        coast = running0 & (err < 5e-3) & (vmax > 0.05) & no_prog
+        # gate: non-improving AND unguided AND orbiting within 2 cm of
+        # the target — wide enough to catch the EE-null-space orbits
+        # that park problems at 2-10 mm (flagship round 5 near-miss
+        # census), narrow enough not to brake a finishing approacher
+        coast = running0 & (err < 0.02) & (vmax > 0.05) & no_prog \
+            & ~self.plan_active
         if coast.any():
             xg_new = np.asarray(st.ctrl.xg).copy()
             ug_new = np.asarray(st.ctrl.ug).copy()
@@ -330,9 +345,13 @@ class StallReplanner:
             improve = err_T < err[sel_p] - self.accept_margin
             # tier 1: feasible plan -> guess splice + guidance
             ok_s = feas & improve
-            # tier 2: near-feasible plan that reaches the target region ->
-            # GUIDANCE ONLY (cost shaping; constraints stay with the MPC)
-            ok_g = ~feas & improve & (viol < 0.05) & (err_T < 0.05)
+            # tier 2: near-feasible plan -> GUIDANCE ONLY (cost shaping;
+            # constraints stay with the MPC). Reaching the target region
+            # OR making a big dent (>= 15 cm) both qualify: a partial
+            # route still moves the loop to a state the next stall
+            # replan can finish from (chained replanning)
+            ok_g = ~feas & improve & (viol < 0.05) \
+                & ((err_T < 0.05) | (err_T < err[sel_p] - 0.15))
             self.n_replans += sel.size
             accept_s = np.zeros(err.shape[0], bool)
             accept_g = np.zeros(err.shape[0], bool)
@@ -349,7 +368,8 @@ class StallReplanner:
             s_sel = sel[ok_s[:sel.size]]
             xg_new[s_sel] = np.asarray(xs[:sel.size, :N + 1])[ok_s[:sel.size]]
             ug_new[s_sel] = np.asarray(us[:sel.size, :N])[ok_s[:sel.size]]
-            # plans' EE paths + guidance (both tiers)
+            # plans' EE paths + timed guidance (both tiers): the FULL
+            # plan path loads into the guidance buffer, pointer at 0
             plan_x = np.asarray(xs[:sel.size])[ok_any[:sel.size]]
             plan_ee = np.asarray(jax.vmap(jax.vmap(model.ee_pos))(
                 jnp.asarray(plan_x)))
@@ -358,12 +378,15 @@ class StallReplanner:
             self.plan_ptr[any_sel] = 0
             p_guide = np.asarray(st.ctrl.p_guide).copy()
             guide_on = np.asarray(st.ctrl.guide_on).copy()
-            p_guide[any_sel] = plan_ee[:, min(self.lookahead, self.replan.N)]
+            ptr = np.asarray(st.ctrl.plan_ptr).copy()
+            p_guide[any_sel] = plan_ee
             guide_on[any_sel] = True
+            ptr[any_sel] = 0
             ctrl_new = dataclasses.replace(
                 st.ctrl, xg=jnp.asarray(xg_new), ug=jnp.asarray(ug_new),
                 x_viable=jnp.asarray(xg_new[:, -1]),
                 p_guide=jnp.asarray(p_guide, st.ctrl.xg.dtype),
+                plan_ptr=jnp.asarray(ptr, jnp.int32),
                 guide_on=jnp.asarray(guide_on),
                 r=jnp.where(jnp.asarray(accept_s),
                             jnp.asarray(self.ctrl.N, st.ctrl.r.dtype),
