@@ -130,7 +130,8 @@ def main(argv=None):
     if replanner is not None:
         print(f"replans: {replanner.n_replans} solved, "
               f"{replanner.n_accepted} accepted, "
-              f"{replanner.n_brakes} brake splices")
+              f"{replanner.n_brakes} brake splices, "
+              f"{replanner.n_finishes} finisher splices")
     print(f"Completed task: {len(res.conv_idx)}"
           f"\nCollisions: {len(res.collisions_idx)}"
           f"\nViable states: {len(res.viable_idx)}"

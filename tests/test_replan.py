@@ -68,6 +68,52 @@ def test_stall_replan_splices_guesses():
     assert not rp.plan_active[i]
 
 
+def test_finisher_splices_near_misses():
+    """A near-miss (few mm from the target, at rest, not improving) gets
+    a full-SQP finisher solve at the MPC horizon spliced as a fresh
+    guess ending sub-0.5*tol_conv, with guidance off — and is NOT sent
+    to the long-horizon stall replanner (whose accept_margin exceeds
+    the remaining error)."""
+    from safe_mpc_tpu.tasks.ik import solve_ik_multistart
+
+    B, N = 2, 20
+    cfg = load_config().with_(N=N, use_net=False)
+    model = ManipulatorModel(cfg)
+    ctrl = get_controller("naive", model, N=N)
+    replan_ctrl = get_guess_controller("naive", model, N=30, rti_iters=10)
+    rp = StallReplanner(replan_ctrl, ctrl, chunk=B, sqp_iters=60,
+                        ik_seeds=1, ik_starts=16)
+
+    # build a near-miss state: IK solution of the target, perturbed so
+    # the EE sits a few mm off, at rest
+    q_tgt, ok = solve_ik_multistart(model, jnp.asarray(model.ee_ref))
+    assert bool(ok)
+    x_nm = np.array(q_tgt, np.float64)
+    x_nm[:model.nq] += 0.008
+    x_nm[model.nq:] = 0.0
+    err0 = float(np.linalg.norm(
+        np.asarray(model.ee_pos(jnp.asarray(x_nm))) -
+        np.asarray(model.ee_ref)))
+    assert cfg.tol_conv < err0 < rp.finish_tol, f"bad test state err={err0}"
+
+    sim = ClosedLoopSim(ctrl, backup=None)
+    x0s = jnp.asarray(np.tile(x_nm[None], (B, 1)))
+    st = sim.initial_state(x0s)
+
+    st1 = rp.maybe_replan(st)          # baseline only
+    assert rp.n_finishes == 0
+    st2 = rp.maybe_replan(st1)         # unchanged state -> finisher fires
+    assert rp.n_finishes == B
+    assert rp.n_replans == 0           # finisher supersedes stall replan
+    assert not np.any(np.asarray(st2.ctrl.guide_on))
+    # spliced guess starts at the near-miss state and ends sub-tol
+    np.testing.assert_allclose(np.asarray(st2.ctrl.xg[:, 0]),
+                               np.asarray(x0s), atol=1e-6)
+    ee_T = np.asarray(jax.vmap(model.ee_pos)(st2.ctrl.xg[:, -1]))
+    err_T = np.linalg.norm(ee_T - np.asarray(model.ee_ref)[None], axis=1)
+    assert np.all(err_T < 0.5 * cfg.tol_conv), f"finisher err_T={err_T}"
+
+
 def test_replan_noop_when_progressing():
     B, N = 2, 10
     cfg = load_config().with_(N=N, use_net=False)
