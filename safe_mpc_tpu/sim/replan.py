@@ -119,14 +119,21 @@ class StallReplanner:
 
     # ------------------------------------------------------------- guesses
 
-    def _ik_guess(self, x0s, anchor: int | None = None):
+    def _ik_guess(self, x0s, anchor: int | None = None,
+                  via: bool = False):
         """DYNAMICS-CONSISTENT branch-swap guess: a PD controller tracks
         the cosine joint path to an IK anchor through the true double
         integrator, so the guess has ZERO dynamics defects. (A purely
         kinematic guess carries O(1) defects, and with merit_rho = 1e4
         the f32 L1 merit saturates its ~7 significant digits — measured:
         the same seeds solve in f64 and fail in f32 until the defects
-        are removed.)"""
+        are removed.)
+
+        ``via=True`` builds a retreat-then-reapproach path: first half
+        retreats to the mid-range "home" posture (pulling the arm out of
+        the obstacle cage), second half reaches the anchor — the deep
+        5-11 cm wedges are states a direct path cannot leave without
+        first backing out (flagship round 6 failure census)."""
         model = self.model
         nq = model.nq
         Nr = self.replan.N
@@ -139,9 +146,21 @@ class StallReplanner:
         else:
             pick = np.tile(self.q_iks[anchor % len(self.q_iks)][None],
                            (x0s.shape[0], 1))
-        t = 0.5 * (1 - np.cos(np.linspace(0.0, np.pi, Nr + 1)))
-        q_ref = x0s[:, None, :nq] \
-            + t[None, :, None] * (pick[:, None, :nq] - x0s[:, None, :nq])
+        if via:
+            q_home = 0.5 * (np.asarray(model.robot.q_min)
+                            + np.asarray(model.robot.q_max))
+            h = Nr // 2
+            t1 = 0.5 * (1 - np.cos(np.linspace(0.0, np.pi, h + 1)))
+            t2 = 0.5 * (1 - np.cos(np.linspace(0.0, np.pi, Nr - h + 1)))
+            seg1 = x0s[:, None, :nq] + t1[None, :, None] * (
+                q_home[None, None] - x0s[:, None, :nq])
+            seg2 = q_home[None, None] + t2[None, :, None] * (
+                pick[:, None, :nq] - q_home[None, None])
+            q_ref = np.concatenate([seg1, seg2[:, 1:]], axis=1)
+        else:
+            t = 0.5 * (1 - np.cos(np.linspace(0.0, np.pi, Nr + 1)))
+            q_ref = x0s[:, None, :nq] \
+                + t[None, :, None] * (pick[:, None, :nq] - x0s[:, None, :nq])
         v_ref = np.gradient(q_ref, dt, axis=1)
         B = x0s.shape[0]
         xs = np.zeros((B, Nr + 1, 2 * nq), np.float32)
@@ -193,6 +212,11 @@ class StallReplanner:
             if len(self.q_iks) > 1:
                 guesses.append((self._ik_guess(x0s, anchor=self.round),
                                 self._solve_esc))
+            # retreat-then-reapproach (same compiled escape program,
+            # different data): back out to the home posture, then reach
+            # the round-robin anchor — targets the deep cage wedges
+            guesses.append((self._ik_guess(x0s, anchor=self.round + 1,
+                                           via=True), self._solve_esc))
         for (xg, ug), solver in guesses:
             xs, us, status, errs, viol = solver(xg, ug, x0s)
             ok = status == 0
@@ -338,8 +362,16 @@ class StallReplanner:
         # at the MPC horizon, spliced as a fresh guess. Supersedes the
         # brake (which parks the arm off target) and the stall replan
         # (which cannot accept sub-accept_margin improvements).
+        # looser progress gate than the brake: a brake/approach
+        # oscillator creeps a few 1e-4 per segment and would never trip
+        # no_prog, yet it is exactly what the finisher converts (round-6
+        # census: near-misses parked just over the 1 mm tol); firing on
+        # a slow converger is harmless — the splice only happens for a
+        # verified sub-0.5*tol solution with guidance off
+        slow = (self.prev_err - err < 1e-3) \
+            if self.prev_err is not None else np.zeros(len(err), bool)
         finish = running0 & (err > model.cfg.tol_conv) \
-            & (err < self.finish_tol) & no_prog & ~self.plan_active
+            & (err < self.finish_tol) & slow & ~self.plan_active
         fin_ok = np.zeros(B, bool)
         if finish.any():
             st, fin_ok = self._finish_and_splice(

@@ -85,16 +85,27 @@ def test_finisher_splices_near_misses():
                         ik_seeds=1, ik_starts=16)
 
     # build a near-miss state: IK solution of the target, perturbed so
-    # the EE sits a few mm off, at rest
+    # the EE sits a few mm off, at rest. The perturbed state must be
+    # COLLISION-FREE (the target posture sits close to the cage, and a
+    # blanket +8e-3 rad on every joint grazes an obstacle — the finisher
+    # then correctly refuses to certify the solve), so scan magnitudes
+    # for one inside (tol_conv, finish_tol) that passes check_collision.
     q_tgt, ok = solve_ik_multistart(model, jnp.asarray(model.ee_ref))
     assert bool(ok)
-    x_nm = np.array(q_tgt, np.float64)
-    x_nm[:model.nq] += 0.008
-    x_nm[model.nq:] = 0.0
-    err0 = float(np.linalg.norm(
-        np.asarray(model.ee_pos(jnp.asarray(x_nm))) -
-        np.asarray(model.ee_ref)))
-    assert cfg.tol_conv < err0 < rp.finish_tol, f"bad test state err={err0}"
+    x_nm = None
+    for delta in (0.008, -0.008, 0.006, -0.006, 0.004, -0.004, 0.003):
+        cand = np.array(q_tgt, np.float64)
+        cand[:model.nq] += delta
+        cand[model.nq:] = 0.0
+        err0 = float(np.linalg.norm(
+            np.asarray(model.ee_pos(jnp.asarray(cand))) -
+            np.asarray(model.ee_ref)))
+        if cfg.tol_conv < err0 < rp.finish_tol \
+                and bool(model.check_collision(jnp.asarray(cand))) \
+                and bool(model.check_state_bounds(jnp.asarray(cand))):
+            x_nm = cand
+            break
+    assert x_nm is not None, "no collision-free near-miss state found"
 
     sim = ClosedLoopSim(ctrl, backup=None)
     x0s = jnp.asarray(np.tile(x_nm[None], (B, 1)))
