@@ -24,6 +24,8 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--n_steps", type=int, default=200)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--out_dir", type=str, default=None,
+                        help="artifact dir override (scratch for debug)")
     args = parser.parse_args(argv)
     backend, dtype = setup_runtime(force_cpu=args.cpu)
     print(f"backend={backend} dtype={dtype}")
@@ -63,9 +65,10 @@ def main(argv=None):
                 "of": args.batch}
             print(f"h={hor} |v|={vel}: {nfail}/{args.batch} failed, "
                   f"{len(res.viable_idx)} aborted safely")
-    out = os.path.join(cfg.data_dir,
+    out_dir = args.out_dir or cfg.data_dir
+    out = os.path.join(out_dir,
                        f"{args.system}_{args.controller}_crash_test.json")
-    os.makedirs(cfg.data_dir, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
     with open(out, "w") as f:
         json.dump(grid, f, indent=1)
     print(f"saved {out}")

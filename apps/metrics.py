@@ -79,15 +79,21 @@ def main(argv=None):
     else:
         cache = {"states": [], "costs": []}
 
+    # long-horizon optimizer (N = n_steps, full SQP; replaces the IPOPT
+    # solve at metrics.py:56-69). Matches the reference's full-episode
+    # horizon by default (metrics.py:56-69); override via env for quick
+    # runs. Cached optima record the horizon they were solved at, so
+    # raising N_opt invalidates shorter-horizon entries (legacy caches
+    # without the field are treated as N=400, the old default).
+    N_opt = min(cfg.n_steps,
+                int(os.environ.get("METRICS_OPT_HORIZON", str(cfg.n_steps))))
+    cache.setdefault("n_opt", [400] * len(cache["states"]))
+
     def cached_cost(x0):
-        for s, cc in zip(cache["states"], cache["costs"]):
-            if np.all(np.abs(np.asarray(s) - x0) < 1e-3):
+        for s, cc, n in zip(cache["states"], cache["costs"], cache["n_opt"]):
+            if np.all(np.abs(np.asarray(s) - x0) < 1e-3) and n >= N_opt:
                 return cc
         return None
-
-    # long-horizon optimizer (N = n_steps, full SQP; replaces the IPOPT
-    # solve at metrics.py:56-69). Capped for tractability.
-    N_opt = min(cfg.n_steps, int(os.environ.get("METRICS_OPT_HORIZON", "400")))
     spec = OcpSpec(model, N=N_opt, lm=0.01, cost_scaling="none")
     from safe_mpc_tpu.ops.sqp import sqp_solve
     sched = spec.default_schedule(jdt)
@@ -116,6 +122,7 @@ def main(argv=None):
                 if int(res.status) == 0 else float(np.nanmin(costs))
             cache["states"].append(x0)
             cache["costs"].append(min_cost)
+            cache["n_opt"].append(N_opt)
             if i % 10 == 0:
                 with open(cache_file, "wb") as f:
                     pickle.dump(cache, f)

@@ -238,9 +238,17 @@ class ClosedLoopSim:
             c3 = ~jax.vmap(lambda x: ctrl.safe_set.check(x))(x_at_r)
         else:
             c3 = jnp.zeros(B, bool)
+        # counter 2 (obstacle): per-node collision check of the solver
+        # iterate. NOTE: the reference carries this counter but its check
+        # block is commented out (mpc.py:216-230), so it always reads 0
+        # there; here it is live — `np.all([checkCollision(x) for x in
+        # x_temp])`, exactly the commented-out semantics.
+        c2 = ~jax.vmap(
+            lambda xs: jnp.all(jax.vmap(model.check_collision)(xs)))(
+                res.x_temp)
         c4 = res.status == 4
         counts = jnp.stack(
-            [c0, c1, jnp.zeros(B, bool), c3, c4], axis=1).astype(jnp.int32)
+            [c0, c1, c2, c3, c4], axis=1).astype(jnp.int32)
         counters = st.counters + jnp.where(run_ctrl[:, None], counts, 0)
 
         # ---- failure checks on the new state (mpc.py:246-264)

@@ -62,6 +62,44 @@ def test_sim_with_noise_ensemble(model):
     assert res.counters.shape == (4, 5)
 
 
+def test_obstacle_counter_fires_on_colliding_iterate(model):
+    """Counter 2 (obstacle) counts ticks whose solver iterate x_temp has a
+    colliding node (the reference's commented-out check, mpc.py:216-230).
+    A nominal mid-range run never collides; a controller whose iterate is
+    forced into the floor must count every tick."""
+    ctrl = MPCController(model, N=N)
+    sim = ClosedLoopSim(ctrl, backup=None)
+    x0s = x0_batch(model, 2)
+    res = sim.run(x0s, n_steps=10)
+    assert np.all(res.counters[:, 2] == 0)
+
+    # find a colliding joint state (straight-down posture hits the floor
+    # for the Z1 scene; fall back to scanning boundary states)
+    bad_q = None
+    for cand in [np.asarray(model.x_min), np.asarray(model.x_max)]:
+        c = cand.copy()
+        c[model.nq:] = 0.0
+        if not bool(model.check_collision(jnp.asarray(c))):
+            bad_q = c
+            break
+    if bad_q is None:
+        pytest.skip("no colliding bound state in this scene")
+
+    class CollidingIterate(MPCController):
+        def _post_step(self, state, sched, res):
+            out = super()._post_step(state, sched, res)
+            x_bad = jnp.tile(jnp.asarray(bad_q, res.xs.dtype),
+                             (res.xs.shape[0], 1))
+            return StepResult(u=out.u, abort=out.abort, state=out.state,
+                              status=out.status, x_temp=x_bad,
+                              u_temp=out.u_temp)
+
+    ctrl2 = CollidingIterate(model, N=N)
+    sim2 = ClosedLoopSim(ctrl2, backup=None)
+    res2 = sim2.run(x0s, n_steps=5)
+    assert np.all(res2.counters[:, 2] >= 1)
+
+
 class AbortAtStep(STWAController):
     """Deterministic abort at a fixed step — drives the sim's abort path.
     Overrides BOTH controller entry points (the sim's hot path is
@@ -131,3 +169,25 @@ def test_constant_bias_noise_mode(model):
     r1 = sim2.run(x0s, n_steps=10, keys=keys)
     r2 = sim2.run(x0s, n_steps=10, keys=keys)
     np.testing.assert_allclose(r1.xs, r2.xs, atol=0)
+
+
+def test_crash_test_grid(tmp_path):
+    """apps/crash_test.py runs the velocity x horizon grid end-to-end
+    (the reference's test_schianto.py:41-105 role) and writes the JSON
+    artifact with one cell per (h, v)."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "apps"))
+    import crash_test
+
+    out_dir = str(tmp_path)
+    crash_test.main(["--cpu", "--horizons", "6", "--velocities", "0.3",
+                     "--batch", "2", "--n_steps", "8",
+                     "--out_dir", out_dir])
+    out = json.load(open(f"{out_dir}/z1_receding_crash_test.json"))
+    assert set(out) == {"h6_v0.3"}
+    cell = out["h6_v0.3"]
+    assert cell["of"] == 2 and 0 <= cell["fails"] <= 2
