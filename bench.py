@@ -46,8 +46,15 @@ def _setup():
 
 
 def _build_step(controller: str, N: int, alpha: float, use_net: bool,
-                qp_iters: int = 15, horizon_parallel: bool = False):
-    """One jitted batched RTI tick (linearize + QP) for a config cell."""
+                qp_iters: int = 15, horizon_parallel: bool = False,
+                warm_iters: int | None = None):
+    """One jitted batched RTI tick (linearize + QP) for a config cell.
+
+    `warm_iters` (default: ops.qp.WARM_ITERS; 0 disables) adds the
+    IP warm start across ticks — the closed-loop configuration (HPIPM
+    warm-starts the same way inside acados' RTI loop): the returned
+    step has signature (states, xs, warm) -> (states, u, status, warm),
+    plus a `cold` variant to produce the first warm state."""
     import dataclasses
 
     import jax
@@ -55,7 +62,11 @@ def _build_step(controller: str, N: int, alpha: float, use_net: bool,
     from safe_mpc_tpu.config import load_config
     from safe_mpc_tpu.controllers.registry import get_controller
     from safe_mpc_tpu.models.manipulator import ManipulatorModel
+    from safe_mpc_tpu.ops.qp import WARM_ITERS
     from safe_mpc_tpu.ops.sqp import rti_step_batched
+
+    if warm_iters is None:
+        warm_iters = int(os.environ.get("BENCH_WARM_ITERS", WARM_ITERS))
 
     cfg = load_config().with_(N=N, use_net=use_net, alpha=alpha)
     model = ManipulatorModel(cfg)
@@ -65,14 +76,19 @@ def _build_step(controller: str, N: int, alpha: float, use_net: bool,
     import jax.numpy as jnp
     sched = ctrl.schedule(ctrl.initial_state(jnp.asarray(mid, jnp.float32)))
 
-    def step_fn(states, xs):
+    def step_fn(states, xs, warm=None):
         res = rti_step_batched(ctrl.spec, states.xg, states.ug, xs,
                                sched, qp_iters=qp_iters,
-                               horizon_parallel=horizon_parallel)
+                               horizon_parallel=horizon_parallel,
+                               warm=warm, warm_iters=warm_iters,
+                               with_warm=True)
+        res, warm_out = res
         new_states = dataclasses.replace(states, xg=res.xs, ug=res.us)
-        return new_states, res.us[:, 0], res.status
+        return new_states, res.us[:, 0], res.status, warm_out
 
-    return model, ctrl, jax.jit(step_fn)
+    cold = jax.jit(lambda states, xs: step_fn(states, xs))
+    warm = jax.jit(step_fn) if warm_iters > 0 else None
+    return model, ctrl, cold, warm
 
 
 def _states_for(model, ctrl, batch, seed_offset=0):
@@ -88,18 +104,26 @@ def _states_for(model, ctrl, batch, seed_offset=0):
     return x0s, states
 
 
-def _measure(step, states, x0s, reps):
-    """(compile_s, steady wall_s, ok_fraction) for `reps` ticks."""
+def _measure(cold, warm, states, x0s, reps):
+    """(compile_s, steady wall_s, ok_fraction) for `reps` ticks.
+
+    One cold tick produces the IP warm state; the timed loop runs the
+    warm-started tick (the steady closed-loop regime). With warm
+    disabled (BENCH_WARM_ITERS=0) every tick is the cold program."""
     import jax
     import numpy as np
 
     t0 = time.time()
-    st, u, status = step(states, x0s)
+    st, u, status, w = cold(states, x0s)
     jax.block_until_ready(u)
+    if warm is not None:
+        st, u, status, w = warm(st, x0s, w)
+        jax.block_until_ready(u)
     compile_s = time.time() - t0
+    step = warm if warm is not None else (lambda s, x, w: cold(s, x))
     t0 = time.time()
     for _ in range(reps):
-        st, u, status = step(st, x0s)
+        st, u, status, w = step(st, x0s, w)
     jax.block_until_ready(u)
     wall = time.time() - t0
     ok = float(np.mean(np.asarray(status) == 0))
@@ -112,9 +136,9 @@ def suite_headline(backend):
                                else "128"))
     reps = int(os.environ.get("BENCH_REPS", "20"))
     use_net = os.environ.get("BENCH_NET", "1") == "1"
-    model, ctrl, step = _build_step("receding", N, 10.0, use_net)
+    model, ctrl, cold, warm = _build_step("receding", N, 10.0, use_net)
     x0s, states = _states_for(model, ctrl, batch)
-    compile_s, wall, ok = _measure(step, states, x0s, reps)
+    compile_s, wall, ok = _measure(cold, warm, states, x0s, reps)
     solves_per_s = batch * reps / wall
     result = {
         "metric": "rti_solves_per_s",
@@ -157,19 +181,35 @@ def suite_latency(backend):
     from safe_mpc_tpu.ops.sqp import rti_step_batched as _rti
 
     K = int(os.environ.get("BENCH_CHAIN", "100"))
+    from safe_mpc_tpu.ops.qp import WARM_ITERS
+    warm_iters = int(os.environ.get("BENCH_WARM_ITERS", WARM_ITERS))
     for hp in (False, True):
-        model, ctrl, _ = _build_step("receding", N, 10.0, use_net,
-                                     horizon_parallel=hp)
+        model, ctrl, _, _ = _build_step("receding", N, 10.0, use_net,
+                                        horizon_parallel=hp)
         sched = ctrl.schedule(ctrl.initial_state(
             jnp.asarray((model.x_min + model.x_max) / 2, jnp.float32)))
 
         @jax.jit
         def chain(states, xs):
-            def tick(st, _):
-                res = _rti(ctrl.spec, st.xg, st.ug, xs, sched,
-                           qp_iters=15, horizon_parallel=hp)
-                return _dc.replace(st, xg=res.xs, ug=res.us), res.us[:, 0]
-            st, us = jax.lax.scan(tick, states, None, length=K)
+            # one cold tick produces the IP warm state, then K-1 warm
+            # -started ticks (the steady closed-loop regime)
+            res0, w0 = _rti(ctrl.spec, states.xg, states.ug, xs, sched,
+                            qp_iters=15, horizon_parallel=hp,
+                            with_warm=True)
+            st0 = _dc.replace(states, xg=res0.xs, ug=res0.us)
+
+            def tick(carry, _):
+                st, w = carry
+                if warm_iters > 0:
+                    res, w = _rti(ctrl.spec, st.xg, st.ug, xs, sched,
+                                  horizon_parallel=hp, warm=w,
+                                  warm_iters=warm_iters, with_warm=True)
+                else:
+                    res = _rti(ctrl.spec, st.xg, st.ug, xs, sched,
+                               qp_iters=15, horizon_parallel=hp)
+                return (_dc.replace(st, xg=res.xs, ug=res.us), w), \
+                    res.us[:, 0]
+            (st, _), us = jax.lax.scan(tick, (st0, w0), None, length=K - 1)
             return us
 
         # assoc only at B=1 (its latency regime): the B=8 chained assoc
@@ -192,16 +232,19 @@ def suite_latency(backend):
 
     # ---- host-side dispatch latency (includes the remote-tunnel RTT)
     for hp in (False, True):
-        model, ctrl, step = _build_step("receding", N, 10.0, use_net,
-                                        horizon_parallel=hp)
+        model, ctrl, cold, warm = _build_step("receding", N, 10.0, use_net,
+                                              horizon_parallel=hp)
+        step = warm if warm is not None else (lambda s, x, w: cold(s, x))
         for batch in (1, 8, 64):
             x0s, states = _states_for(model, ctrl, batch)
-            st, u, _ = step(states, x0s)
+            st, u, _, w = cold(states, x0s)
+            jax.block_until_ready(u)
+            st, u, _, w = step(st, x0s, w)
             jax.block_until_ready(u)
             times = np.empty(reps)
             for i in range(reps):
                 t0 = time.perf_counter()
-                st, u, _ = step(st, x0s)
+                st, u, _, w = step(st, x0s, w)
                 jax.block_until_ready(u)
                 times[i] = time.perf_counter() - t0
             ms = 1e3 * times
@@ -249,9 +292,9 @@ def suite_matrix(backend):
             for alpha in alphas:
                 if cont == "naive" and alpha != alphas[0]:
                     continue  # alpha only gates the safe set
-                model, ctrl, step = _build_step(cont, N, alpha, use_net)
+                model, ctrl, cold, warm = _build_step(cont, N, alpha, use_net)
                 x0s, states = _states_for(model, ctrl, batch)
-                compile_s, wall, ok = _measure(step, states, x0s, reps)
+                compile_s, wall, ok = _measure(cold, warm, states, x0s, reps)
                 line = {
                     "metric": "rti_solves_per_s", "controller": cont,
                     "horizon": N, "alpha": alpha,

@@ -78,6 +78,54 @@ class QPData:
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
+class IPWarm:
+    """Interior-point slack/dual state carried across RTI ticks, in
+    UNSCALED row units (the per-row normalization changes between
+    linearizations, so the solver rescales on entry/exit). Leaves are
+    (N+1, m, B) in the batch-last pipeline. This is the TPU analogue of
+    HPIPM's dual warm start inside acados' RTI loop: consecutive 5 ms
+    ticks solve near-identical QPs, so re-entering at the previous
+    central-path point lets a short barrier schedule (mu0 ~ 0.4, ~8
+    iterations) reach the same final mu as the cold 15-iteration schedule
+    from mu0 = 1e2."""
+
+    sl: jax.Array
+    su: jax.Array
+    t1: jax.Array
+    l1: jax.Array
+    t2: jax.Array
+    l2: jax.Array
+    t3: jax.Array
+    l3: jax.Array
+    t4: jax.Array
+    l4: jax.Array
+
+
+# warm-schedule defaults. WARM_MU0 caps the adaptive (complementarity
+# -seeded) entering barrier; WARM_ITERS=6 is the measured knee: the Z1
+# closed-loop chain matches the cold 15-iteration schedule with zero
+# status failures (scripts_dev/diag_warmstart.py, floor 1e-2), and the
+# B=512 TPU headline clears 8.5k solves/s at ok_fraction 1.0.
+WARM_MU0 = 0.4
+WARM_ITERS = 6
+
+
+def shift_warm(warm: IPWarm, axis: int = 0) -> IPWarm:
+    """Shift the warm state one node forward (roll -1, duplicate last) to
+    track the RTI guess shift (provideControl, controller.py:169-184):
+    after the shift, new node k's constraints sit where old node k+1's
+    were. `axis` is the node axis (0 for the batch-last pipeline)."""
+    def sh(a):
+        rolled = jnp.roll(a, -1, axis=axis)
+        last = jax.lax.index_in_dim(a, a.shape[axis] - 1, axis=axis,
+                                    keepdims=True)
+        return jax.lax.dynamic_update_index_in_dim(
+            rolled, jnp.squeeze(last, axis=axis), a.shape[axis] - 1, axis)
+    return jax.tree.map(sh, warm)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
 class QPSolution:
     dx: jax.Array        # (N+1, nx)
     du: jax.Array        # (N, nu)
@@ -87,6 +135,7 @@ class QPSolution:
     eq_residual: jax.Array      # scalar: max dynamics residual (==0 by constr.)
     stat_residual: jax.Array    # scalar: complementarity at last iterate
     status: jax.Array           # 0 ok, 4 infeasible/failed (acados convention)
+    warm: IPWarm | None = None  # final IP state (batched solver only)
 
 
 # ------------------------------------------------------------------ core --

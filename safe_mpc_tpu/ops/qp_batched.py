@@ -24,7 +24,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from .qp import QPData, QPSolution, _row_weights, _TMIN
+from .qp import IPWarm, QPData, QPSolution, _row_weights, _TMIN
 
 
 @jax.tree_util.register_dataclass
@@ -152,7 +152,8 @@ def _riccati_last(A, B, c, dx0, Qb, qb, Rb, rb, Sb):
 def solve_qp_batched(data: QPData, iters: int = 20, mu0: float = 1e2,
                      mu_decay: float = 0.45, mu_min: float = 1e-9,
                      ftb: float = 0.995, hard_tol: float = 1e-6,
-                     horizon_parallel: bool = False) -> QPSolution:
+                     horizon_parallel: bool = False,
+                     warm: IPWarm | None = None) -> QPSolution:
     """Batch-major solve of a batched QPData (leading batch axis B on every
     field). Same algorithm and semantics as `solve_qp`; per-problem
     fraction-to-boundary steps and statuses.
@@ -172,18 +173,26 @@ def solve_qp_batched(data: QPData, iters: int = 20, mu0: float = 1e2,
         zl=bl(data.zl), zu=bl(data.zu), Zl=bl(data.Zl), Zu=bl(data.Zu))
     return solve_qp_bl(datab, iters=iters, mu0=mu0, mu_decay=mu_decay,
                        mu_min=mu_min, ftb=ftb, hard_tol=hard_tol,
-                       horizon_parallel=horizon_parallel)
+                       horizon_parallel=horizon_parallel, warm=warm)
 
 
 def solve_qp_bl(data: QPDataBL, iters: int = 20, mu0: float = 1e2,
                 mu_decay: float = 0.45, mu_min: float = 1e-9,
                 ftb: float = 0.995, hard_tol: float = 1e-6,
-                horizon_parallel: bool = False) -> QPSolution:
+                horizon_parallel: bool = False,
+                warm: IPWarm | None = None,
+                warm_mu_floor: float = 1e-2) -> QPSolution:
     """Batch-last core of the interior-point solver: consumes a
     :class:`QPDataBL` (lane-minor layout, e.g. from
     ``OcpSpec.transcribe_bl``) with no entry transposes. Returns a
     batch-LEADING :class:`QPSolution` (dx (B, N+1, nx), ...) — only the
-    four solution tensors are transposed back, not the 19 data fields."""
+    four solution tensors are transposed back, not the 19 data fields.
+
+    `warm` re-enters at a previous tick's IP state (unscaled units,
+    rescaled + clipped here); pair it with a short schedule, e.g.
+    ``iters=WARM_ITERS, mu0=WARM_MU0`` (ops/qp.py) — see :class:`IPWarm`.
+    The returned solution's ``.warm`` always carries the final IP state
+    for the next tick."""
     Bn = data.h.shape[-1]
     N = data.R.shape[0]
     m = data.h.shape[1]
@@ -228,16 +237,58 @@ def solve_qp_bl(data: QPDataBL, iters: int = 20, mu0: float = 1e2,
     Zl = Zl / (rscale * rscale)
     Zu = Zu / (rscale * rscale)
 
-    c1_0 = h - lo
-    c3_0 = up - h
-    t1 = jnp.maximum(c1_0, 1.0)
-    t3 = jnp.maximum(c3_0, 1.0)
-    sl = jnp.zeros_like(h)
-    su = jnp.zeros_like(h)
-    t2 = jnp.ones_like(h)
-    t4 = jnp.ones_like(h)
-    mu_init = jnp.asarray(mu0, dtype)
-    l1, l2, l3, l4 = mu_init / t1, mu_init / t2, mu_init / t3, mu_init / t4
+    if warm is None:
+        c1_0 = h - lo
+        c3_0 = up - h
+        t1 = jnp.maximum(c1_0, 1.0)
+        t3 = jnp.maximum(c3_0, 1.0)
+        sl = jnp.zeros_like(h)
+        su = jnp.zeros_like(h)
+        t2 = jnp.ones_like(h)
+        t4 = jnp.ones_like(h)
+        mu_init = jnp.asarray(mu0, dtype)
+        l1, l2, l3, l4 = (mu_init / t1, mu_init / t2,
+                          mu_init / t3, mu_init / t4)
+    else:
+        # warm re-entry ("slack refresh", the robust IP warm start, cf.
+        # HPIPM warm_start inside acados' RTI loop): the DUALS lam carry
+        # the previous tick's active-set weights (unscaled -> this
+        # linearization's row scale, floored so a stale/garbage entry —
+        # e.g. after a rolled-back tick — stays recoverable); the primal
+        # slacks t are RE-INITIALIZED from the actual row values at the
+        # new linearization point, so the (c - t) Newton residual starts
+        # at zero. Re-entering the previous t instead stalls: at tiny
+        # barrier the fraction-to-boundary clamps the O(1) primal travel
+        # from dx=0 (measured: 0.8 max dx error after 8 iterations).
+        tf, lf, cap = 1e-4, 1e-9, 1e8
+        sl = jnp.maximum(warm.sl * rscale, 0.0)
+        su = jnp.maximum(warm.su * rscale, 0.0)
+        t1 = jnp.maximum(h - lo + soft * sl, tf)
+        t3 = jnp.maximum(up - h + soft * su, tf)
+        t2 = jnp.maximum(sl, tf)
+        t4 = jnp.maximum(su, tf)
+        l1 = jnp.clip(warm.l1 / rscale, lf, cap)
+        l2 = jnp.clip(warm.l2 / rscale, lf, cap)
+        l3 = jnp.clip(warm.l3 / rscale, lf, cap)
+        l4 = jnp.clip(warm.l4 / rscale, lf, cap)
+        # adaptive barrier: start at the refreshed complementarity (per
+        # problem) — a near-converged entry re-centers only as much as
+        # its own duals demand (capped at mu0). Only pairs that MEAN
+        # something count: hard rows' (t2,l2)/(t4,l4) slack pairs are
+        # vestigial (their updates run but sl is pinned 0) and would
+        # inflate the estimate by orders of magnitude.
+        n_pairs = jnp.maximum(
+            2.0 * jnp.sum(act, axis=(0, 1))
+            + 2.0 * jnp.sum(soft, axis=(0, 1)), 1.0)
+        compl0 = jnp.sum(act * (t1 * l1 + t3 * l3)
+                         + soft * (t2 * l2 + t4 * l4),
+                         axis=(0, 1)) / n_pairs
+        # the floor re-centers every warm solve at least mildly: during
+        # aggressive transients the active set shifts tick-to-tick and a
+        # too-low entering barrier leaves newly-violated rows without
+        # enough centering force to clear the feasibility tolerance in
+        # the short schedule (measured on the Z1 chain, round 3)
+        mu_start = jnp.clip(compl0, warm_mu_floor, mu0)  # (B,)
     dx = jnp.zeros_like(q)
     du = jnp.zeros_like(r)
 
@@ -331,8 +382,12 @@ def solve_qp_bl(data: QPDataBL, iters: int = 20, mu0: float = 1e2,
         l4 = l4 + a_km * dl4
         return (dx, du, sl, su, t1, l1, t2, l2, t3, l3, t4, l4), None
 
-    mus = jnp.maximum(mu0 * mu_decay ** jnp.arange(iters, dtype=dtype),
-                      mu_min)
+    decay = mu_decay ** jnp.arange(iters, dtype=dtype)
+    if warm is None:
+        mus = jnp.maximum(mu0 * decay, mu_min)              # (iters,)
+    else:
+        mus = jnp.maximum(mu_start[None] * decay[:, None],
+                          mu_min)                           # (iters, B)
     carry = (dx, du, sl, su, t1, l1, t2, l2, t3, l3, t4, l4)
     carry, _ = jax.lax.scan(iteration, carry, mus)
     dx, du, sl, su, t1, l1, t2, l2, t3, l3, t4, l4 = carry
@@ -352,9 +407,28 @@ def solve_qp_bl(data: QPDataBL, iters: int = 20, mu0: float = 1e2,
     dx = jnp.where(nan_bad[None, None], jnp.zeros_like(dx), dx)
     du = jnp.where(nan_bad[None, None], jnp.zeros_like(du), du)
 
+    # final IP state in unscaled units (batch-last layout, opaque to
+    # callers — thread it back in via `warm`). INACTIVE rows' pairs are
+    # reset to a neutral point: their updates run unmasked inside the
+    # iteration (they never touch the Riccati — d_eff/gamma are masked)
+    # and can diverge over many iterations; exporting garbage would
+    # poison the next tick's masked reductions (0 * inf = nan).
+    mu_last = jnp.asarray(mus[-1] if mus.ndim == 1 else mus[-1].max(), dtype)
+
+    def sane(v, neutral, mask):
+        ok = jnp.logical_and(mask > 0, jnp.isfinite(v))
+        return jnp.where(ok, v, neutral)
+
+    warm_out = IPWarm(
+        sl=sane(sl, 0.0, soft) / rscale, su=sane(su, 0.0, soft) / rscale,
+        t1=sane(t1, 1.0, act) / rscale, l1=sane(l1, mu_last, act) * rscale,
+        t2=sane(t2, 1.0, soft) / rscale, l2=sane(l2, mu_last, soft) * rscale,
+        t3=sane(t3, 1.0, act) / rscale, l3=sane(l3, mu_last, act) * rscale,
+        t4=sane(t4, 1.0, soft) / rscale, l4=sane(l4, mu_last, soft) * rscale)
+
     # ---- back to batch-leading
     fl = lambda a: jnp.moveaxis(a, -1, 0)
     return QPSolution(dx=fl(dx), du=fl(du), sl=fl(sl * soft / rscale),
                       su=fl(su * soft / rscale), hard_violation=hard_viol,
                       eq_residual=jnp.zeros((Bn,), dtype),
-                      stat_residual=compl, status=status)
+                      stat_residual=compl, status=status, warm=warm_out)

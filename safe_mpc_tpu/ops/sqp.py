@@ -21,7 +21,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from .qp import QPData, QPSolution, solve_qp
+from .qp import IPWarm, QPData, QPSolution, WARM_ITERS, WARM_MU0, solve_qp
 from .transcribe import NodeSchedule, OcpSpec
 
 
@@ -50,21 +50,41 @@ def rti_step(spec: OcpSpec, xg, ug, x0, schedule: NodeSchedule,
 
 def rti_step_batched(spec: OcpSpec, xgs, ugs, x0s, schedule: NodeSchedule,
                      qp_iters: int = 20,
-                     horizon_parallel: bool = False) -> SolveResult:
+                     horizon_parallel: bool = False,
+                     warm: IPWarm | None = None,
+                     warm_iters: int = WARM_ITERS,
+                     with_warm: bool = False):
     """Whole-batch RTI step, fully batch-last: `transcribe_bl` linearizes
     all B*(N+1) nodes as one lane-packed program and `solve_qp_bl`
     consumes the QPDataBL with no layout changes — the TPU-throughput
     entry point. `schedule` may be shared (unbatched leaves, broadcast
     inside) or per-problem (leading B axis, e.g. vmapped
-    ``controller.schedule``) — receding/parallel variants batch too."""
+    ``controller.schedule``) — receding/parallel variants batch too.
+
+    `warm` (the previous tick's warm state, shifted with
+    ``ops.qp.shift_warm`` alongside the guess) switches the QP to the
+    short warm schedule (`warm_iters` iterations from mu0=WARM_MU0) —
+    the per-tick closed-loop configuration; HPIPM warm-starts the same
+    way inside acados' RTI loop. With ``with_warm=True`` the return is
+    ``(SolveResult, IPWarm)`` — the warm state is kept OUT of
+    SolveResult because its leaves are batch-last (node-leading), which
+    would corrupt the controllers' batch-leading tree reshapes."""
     from .qp_batched import solve_qp_bl
 
     datab = spec.transcribe_bl(xgs, ugs, x0s, schedule)
-    sol = solve_qp_bl(datab, iters=qp_iters, horizon_parallel=horizon_parallel)
+    if warm is None:
+        sol = solve_qp_bl(datab, iters=qp_iters,
+                          horizon_parallel=horizon_parallel)
+    else:
+        sol = solve_qp_bl(datab, iters=warm_iters, mu0=WARM_MU0,
+                          horizon_parallel=horizon_parallel, warm=warm)
     B = xgs.shape[0]
-    return SolveResult(xs=xgs + sol.dx, us=ugs + sol.du, status=sol.status,
-                       qp_viol=sol.hard_violation,
-                       iters=jnp.ones((B,), jnp.int32))
+    res = SolveResult(xs=xgs + sol.dx, us=ugs + sol.du, status=sol.status,
+                      qp_viol=sol.hard_violation,
+                      iters=jnp.ones((B,), jnp.int32))
+    if with_warm:
+        return res, sol.warm
+    return res
 
 
 def sqp_solve_batched(spec: OcpSpec, xg, ug, x0, schedule: NodeSchedule,

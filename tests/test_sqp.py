@@ -140,3 +140,68 @@ def test_rti_batched_vmap(setup):
     single = rti_step(spec, xg[1], ug[1], x0s[1], sched)
     np.testing.assert_allclose(np.asarray(res.xs[1]),
                                np.asarray(single.xs), atol=1e-8)
+
+
+def test_rti_warm_chain_matches_cold(setup):
+    """Warm-carry RTI chain (one cold tick, then WARM_ITERS-iteration
+    warm ticks with the IP state shifted alongside the guess) stays
+    status-0 throughout and tracks the cold-15 chain's closed loop —
+    the headline bench's warm configuration is behaviorally equivalent
+    to the production cold schedule (diag: scripts_dev/diag_warmstart)."""
+    import dataclasses
+
+    from safe_mpc_tpu.ops.qp import shift_warm
+    from safe_mpc_tpu.ops.sqp import rti_step_batched
+
+    cfg, model, _, _ = setup
+    N25, B, K = 25, 4, 30
+    model = ManipulatorModel(cfg.with_(N=N25))
+    spec = OcpSpec(model, N=N25)
+    sched = spec.default_schedule()
+
+    mid = jnp.asarray((model.x_min + model.x_max) / 2)
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(np.asarray(mid)[None]
+                      + 0.1 * rng.standard_normal((B, model.nx)))
+    xg = jnp.tile(x0s[:, None], (1, N25 + 1, 1))
+    ug = jnp.zeros((B, N25, model.nu))
+
+    def shift(xs, us):
+        return (jnp.roll(xs, -1, axis=1).at[:, -1].set(xs[:, -1]),
+                jnp.roll(us, -1, axis=1).at[:, -1].set(us[:, -1]))
+
+    @jax.jit
+    def cold_tick(xg, ug, xs):
+        res = rti_step_batched(spec, xg, ug, xs, sched, qp_iters=15,
+                               with_warm=True)
+        return res
+
+    @jax.jit
+    def warm_tick(xg, ug, xs, warm):
+        return rti_step_batched(spec, xg, ug, xs, sched, warm=warm,
+                                with_warm=True)
+
+    # cold chain
+    xgc, ugc, xc = xg, ug, x0s
+    xgw, ugw, xw = xg, ug, x0s
+    warm = None
+    bad_w = 0
+    for k in range(K):
+        res_c, _ = cold_tick(xgc, ugc, xc)
+        if warm is None:
+            res_w, warm = cold_tick(xgw, ugw, xw)
+        else:
+            res_w, warm = warm_tick(xgw, ugw, xw, warm)
+        bad_w += int(jnp.sum(res_w.status != 0))
+        xc = jax.vmap(model.step)(xc, res_c.us[:, 0])
+        xw = jax.vmap(model.step)(xw, res_w.us[:, 0])
+        xgc, ugc = shift(res_c.xs, res_c.us)
+        xgw, ugw = shift(res_w.xs, res_w.us)
+        warm = shift_warm(warm, axis=0)
+
+    assert bad_w == 0
+    ee_c = jnp.linalg.norm(jax.vmap(model.ee_pos)(xc)
+                           - jnp.asarray(model.ee_ref)[None], axis=1)
+    ee_w = jnp.linalg.norm(jax.vmap(model.ee_pos)(xw)
+                           - jnp.asarray(model.ee_ref)[None], axis=1)
+    np.testing.assert_allclose(np.asarray(ee_w), np.asarray(ee_c), atol=1e-2)
