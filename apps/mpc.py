@@ -58,21 +58,37 @@ def main(argv=None):
     # --rti_iters > 1 runs multiple SQP iterations per control step — the
     # role of the reference's IPOPT controller family (mpc_ipopt.py)
     controller = get_controller(cont_name, model, N=horizon,
-                                rti_iters=args.get("rti_iters"), traj=traj)
+                                rti_iters=args.get("rti_iters"), traj=traj,
+                                lm_drop_tol=args.get("lm_drop", 0.0))
     backup = SafeBackupController(model, N=cfg.back_hor)
 
     if track != "none":
+        import os as _os
+
         jdt = jnp.float64 if dtype == "float64" else jnp.float32
-        x0, ok = solve_ik_multistart(model, jnp.asarray(traj[:, 0], jdt))
-        if not bool(ok):
-            print("WARNING: IK did not converge on the trajectory start")
         test_num = args.get("batch") or cfg.test_num
-        x0s = jnp.tile(x0.astype(jdt), (test_num, 1))
-        init = controller.solve(
-            controller.initial_state(x0s[0]), x0s[0],
-            controller.schedule(controller.initial_state(x0s[0])))
-        xg = np.tile(np.asarray(init.xs)[None], (test_num, 1, 1))
-        ug = np.tile(np.asarray(init.us)[None], (test_num, 1, 1))
+        gpath = guess_path(cfg, cont_name, horizon)
+        if _os.path.isfile(gpath):
+            # tracking guess pickle from apps/guess.py --track
+            print(f"loading tracking guess {gpath}")
+            xg, ug = load_guess(gpath)
+            xg, ug = xg[:test_num], ug[:test_num]
+            if xg.shape[0] < test_num:
+                reps = -(-test_num // xg.shape[0])
+                xg = np.tile(xg, (reps, 1, 1))[:test_num]
+                ug = np.tile(ug, (reps, 1, 1))[:test_num]
+            x0s = jnp.asarray(xg[:, 0, :], jdt)
+        else:
+            # inline fallback: IK on the trajectory start + one solve
+            x0, ok = solve_ik_multistart(model, jnp.asarray(traj[:, 0], jdt))
+            if not bool(ok):
+                print("WARNING: IK did not converge on the trajectory start")
+            x0s = jnp.tile(x0.astype(jdt), (test_num, 1))
+            init = controller.solve(
+                controller.initial_state(x0s[0]), x0s[0],
+                controller.schedule(controller.initial_state(x0s[0])))
+            xg = np.tile(np.asarray(init.xs)[None], (test_num, 1, 1))
+            ug = np.tile(np.asarray(init.us)[None], (test_num, 1, 1))
     else:
         gpath = guess_path(cfg, cont_name, horizon)
         print(f"loading guess {gpath}")
@@ -128,10 +144,13 @@ def main(argv=None):
           f"({n_solves / wall:.0f} RTI solves/s incl. compile)")
 
     if replanner is not None:
+        replanner.close()
         print(f"replans: {replanner.n_replans} solved, "
               f"{replanner.n_accepted} accepted, "
               f"{replanner.n_brakes} brake splices, "
-              f"{replanner.n_finishes} finisher splices")
+              f"{replanner.n_finishes} finisher splices, "
+              f"{replanner.n_f64} f64 jobs ({replanner.n_f64_accepted} "
+              f"accepted)")
     print(f"Completed task: {len(res.conv_idx)}"
           f"\nCollisions: {len(res.collisions_idx)}"
           f"\nViable states: {len(res.viable_idx)}"

@@ -361,6 +361,16 @@ def parse_args(argv: list[str] | None = None) -> dict[str, Any]:
                         help="SQP iterations per control step (default: "
                              "config rti_iter; >1 is the analogue of the "
                              "reference's IPOPT controller family)")
+    parser.add_argument("--lm_drop", type=float, default=0.0,
+                        help="EE-error threshold below which the LM "
+                             "regularization is dropped per problem "
+                             "(0 = off; the flagship campaign uses 5e-3 "
+                             "so the LM anchor stops fighting the final "
+                             "millimetre)")
+    parser.add_argument("--out_dir", type=str, default=None,
+                        help="override the artifact directory (use a "
+                             "scratch dir for debug runs so canonical "
+                             "pickles aren't clobbered)")
     return vars(parser.parse_args(argv))
 
 
@@ -379,4 +389,7 @@ def config_from_args(args: dict[str, Any], rti: bool = True) -> SafeMpcConfig:
         collision_margin=args.get("collision_margin", cfg.collision_margin),
         solver_type="SQP_RTI" if rti else "SQP",
     )
+    if args.get("out_dir"):
+        os.makedirs(args["out_dir"], exist_ok=True)
+        cfg = cfg.with_(data_dir=args["out_dir"])
     return cfg

@@ -84,11 +84,20 @@ class MPCController:
     def __init__(self, model: ManipulatorModel, N: int | None = None,
                  safe_set=None, rti_iters: int | None = None,
                  qp_iters: int = 25, traj: np.ndarray | None = None,
-                 guide_len: int = 1, **spec_kw):
+                 guide_len: int = 1, lm_drop_tol: float = 0.0,
+                 lm_drop_factor: float = 0.02, **spec_kw):
         cfg = model.cfg
         self.model = model
         self.cfg = cfg
         self.N = int(N if N is not None else cfg.N)
+        # near-target LM drop (per problem, via NodeSchedule.lm_scale):
+        # once the EE error falls under lm_drop_tol, the LM anchor to the
+        # previous plan is scaled by lm_drop_factor so it stops fighting
+        # the final millimetre (flagship near-miss census, VERDICT r2).
+        # 0 disables (the default — reference semantics keep LM fixed,
+        # config.yaml:21).
+        self.lm_drop_tol = float(lm_drop_tol)
+        self.lm_drop_factor = float(lm_drop_factor)
         # guidance-plan buffer length P: 1 = a single static via point;
         # >1 = a timed EE path tracked node-by-node (sim/replan.py sets
         # P = replan_N + 1 so each MPC node i tracks plan node ptr + i)
@@ -156,6 +165,13 @@ class MPCController:
         sched = self.spec.default_schedule(dtype)
         sched = dataclasses.replace(sched, p_ee=self._traj_window(state, dtype),
                                     alpha=jnp.asarray(cfg.alpha, dtype))
+        if self.lm_drop_tol > 0:
+            err = jnp.linalg.norm(
+                self.model.ee_pos(state.xg[0]) - sched.p_ee[0])
+            near = jnp.logical_and(err < self.lm_drop_tol, ~state.guide_on)
+            sched = dataclasses.replace(
+                sched, lm_scale=jnp.where(
+                    near, self.lm_drop_factor, 1.0).astype(dtype))
         if self.terminal_zero_vel:
             nq = self.model.nq
             sched = dataclasses.replace(

@@ -43,6 +43,12 @@ class NodeSchedule:
     safe_soft: jax.Array    # (N+1,) in {0,1}: safe rows soft at node k
     safe_zl: jax.Array      # (N+1,) linear lower-slack weight
     safe_zu: jax.Array      # (N+1,) linear upper-slack weight
+    lm_scale: jax.Array     # scalar multiplier on the spec's LM
+    #                         regularization (1 = nominal). Per-problem
+    #                         under vmap: the controller drops LM near
+    #                         the target so the anchor to the previous
+    #                         plan stops fighting the final millimetre
+    #                         (flagship near-miss census, round 2).
 
 
 class OcpSpec:
@@ -137,6 +143,7 @@ class OcpSpec:
             safe_soft=jnp.zeros(N1, dtype),
             safe_zl=jnp.zeros(N1, dtype),
             safe_zu=jnp.zeros(N1, dtype),
+            lm_scale=jnp.ones((), dtype),
         )
 
     # ----------------------------------------------------------- node parts
@@ -320,9 +327,9 @@ class OcpSpec:
         val, Cx, Cu, Qx, qx, Ru, ru = jax.vmap(node)(
             xg, ug_full, schedule.p_ee, scales)
 
-        lm_eye = self.lm * jnp.eye(nx, dtype=dtype)
-        Q = Qx + lm_eye[None]
-        R = (Ru + self.lm * jnp.eye(nu, dtype=dtype)[None])[:N]
+        lm = self.lm * schedule.lm_scale
+        Q = Qx + lm * jnp.eye(nx, dtype=dtype)[None]
+        R = (Ru + lm * jnp.eye(nu, dtype=dtype)[None])[:N]
         r = ru[:N]
 
         # dynamics defect at the guess (zero after guess correction)
@@ -504,10 +511,10 @@ class OcpSpec:
             a = a.reshape(a.shape[:-1] + (B, N1))
             return jnp.moveaxis(a, -1, 0)                     # (N1, ..., B)
 
-        lm_eye = self.lm * jnp.eye(nx, dtype=dtype)[:, :, None]
-        Q_n = nodes(Qx + lm_eye)
+        lm_K = self.lm * jnp.repeat(schedule.lm_scale, N1)    # (K,)
+        Q_n = nodes(Qx + lm_K * jnp.eye(nx, dtype=dtype)[:, :, None])
         q_n = nodes(qx)
-        R_n = nodes(Ru + self.lm * jnp.eye(nu, dtype=dtype)[:, :, None])[:N]
+        R_n = nodes(Ru + lm_K * jnp.eye(nu, dtype=dtype)[:, :, None])[:N]
         r_n = nodes(ru)[:N]
         Cx_n = nodes(Cx)
         Cu_n = nodes(Cu)[:N]

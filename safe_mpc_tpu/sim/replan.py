@@ -116,6 +116,20 @@ class StallReplanner:
             self._fin_ctrl, xg, ug, x0s))
         self.finish_tol = 2e-2
         self.n_finishes = 0
+        # finisher backoff: consecutive non-certified finisher solves per
+        # problem (a collision-adjacent near-miss the finisher can never
+        # certify would otherwise re-fire its 60-iter SQP every segment);
+        # after `finish_max_tries` consecutive misses the problem is
+        # skipped, a certified splice resets the count
+        self.finish_max_tries = 4
+        self.finish_tries: np.ndarray | None = None
+        # asynchronous f64 escape solves for deep wedges (escape_f64.py)
+        self.use_f64 = True
+        self.f64_after = 2
+        self.stall_rounds: np.ndarray | None = None
+        self._f64_job = None
+        self.n_f64 = 0
+        self.n_f64_accepted = 0
 
     # ------------------------------------------------------------- guesses
 
@@ -199,9 +213,11 @@ class StallReplanner:
 
     def _replan_chunk(self, x0s):
         """Returns (xs, us, feasible, err_T, viol), best over the cold
-        -hold guess and two IK-branch guesses (nearest + the round-robin
-        branch — the rotation tries every distinct arm branch across
-        replan rounds). "Best" prefers feasible plans, then lower
+        -hold guess and three IK-branch guesses: nearest anchor, the
+        round-robin branch (the rotation tries every distinct arm branch
+        across replan rounds), and a retreat-via-home path to the next
+        round-robin anchor (back out of the cage, then reapproach).
+        "Best" prefers feasible plans, then lower
         terminal error; a NEAR-feasible plan that reaches the target is
         still kept (viol reported) because guidance is pure cost shaping
         — the closed-loop MPC enforces its own constraints."""
@@ -285,6 +301,10 @@ class StallReplanner:
             self.plan_ee = np.zeros((B, T, 3))
             self.plan_active = np.zeros(B, bool)
             self.plan_ptr = np.zeros(B, int)
+        if self.finish_tries is None:
+            self.finish_tries = np.zeros(B, int)
+        if self.stall_rounds is None:
+            self.stall_rounds = np.zeros(B, int)
 
     def _update_guidance(self, st: SimState, ee, err):
         """Between-segment plan maintenance: re-time each active plan's
@@ -328,6 +348,37 @@ class StallReplanner:
             guide_on=jnp.asarray(guide_on))
         return dataclasses.replace(st, ctrl=ctrl_new), freshly_stalled
 
+    def _harvest_f64(self, st: SimState, err, verbose: bool = False):
+        """Collect a finished asynchronous f64 escape job (if any) and
+        splice its plans for problems that are still roughly where the
+        job left them (a wedged state is nearly stationary; the
+        staleness check guards the exception)."""
+        if self._f64_job is None:
+            return st
+        out = self._f64_job.poll()
+        if out is None:
+            return st
+        self._f64_job = None
+        sel, x0, xs, us, status, err_T, viol = out
+        fresh = np.max(np.abs(np.asarray(st.x)[sel] - x0), axis=1) < 0.05
+        keep = fresh & np.isfinite(err_T)
+        if not keep.any():
+            return st
+        sel, xs, us = sel[keep], xs[keep], us[keep]
+        feas = (status[keep] == 0)
+        st, acc = self._splice_plans(st, sel, xs, us, feas, err_T[keep],
+                                     viol[keep], err[sel], verbose,
+                                     tag="f64")
+        self.n_f64_accepted += int(acc.sum())
+        self.stall_rounds[sel[acc[sel]]] = 0
+        return st
+
+    def close(self):
+        """Cancel any in-flight f64 escape subprocess (end of run)."""
+        if self._f64_job is not None:
+            self._f64_job.cancel()
+            self._f64_job = None
+
     # ------------------------------------------------------------- hook
 
     def maybe_replan(self, st: SimState, verbose: bool = False) -> SimState:
@@ -338,6 +389,7 @@ class StallReplanner:
         self._ensure_plan_store(B)
         ee = np.asarray(jax.vmap(model.ee_pos)(st.x))
         err = np.linalg.norm(ee - np.asarray(model.ee_ref)[None], axis=1)
+        st = self._harvest_f64(st, err, verbose)
         st, abandoned = self._update_guidance(st, ee, err)
         self.round += 1
 
@@ -371,11 +423,16 @@ class StallReplanner:
         slow = (self.prev_err - err < 1e-3) \
             if self.prev_err is not None else np.zeros(len(err), bool)
         finish = running0 & (err > model.cfg.tol_conv) \
-            & (err < self.finish_tol) & slow & ~self.plan_active
+            & (err < self.finish_tol) & slow & ~self.plan_active \
+            & (self.finish_tries < self.finish_max_tries)
         fin_ok = np.zeros(B, bool)
         if finish.any():
             st, fin_ok = self._finish_and_splice(
                 st, np.flatnonzero(finish), verbose)
+            # backoff bookkeeping: misses count up, a certified splice
+            # resets (ADVICE r2: bound the repeated 60-iter solves)
+            self.finish_tries[finish & ~fin_ok] += 1
+            self.finish_tries[fin_ok] = 0
         # gate: non-improving AND unguided AND orbiting within 2 cm of
         # the target — wide enough to catch the EE-null-space orbits
         # that park problems at 2-10 mm (flagship round 5 near-miss
@@ -411,7 +468,30 @@ class StallReplanner:
         idx = np.flatnonzero(stalled)
         if idx.size == 0:
             return st
-        return self._replan_and_splice(st, idx, err, verbose)
+        st, accepted = self._replan_and_splice(st, idx, err, verbose)
+        # ---- stall-round bookkeeping + f64 escape (deep wedges): after
+        # `f64_after` consecutive failed on-device replans on the same
+        # problem, launch an asynchronous CPU/x64 subprocess solve with
+        # the retreat-via-home branch-swap guess (some wedge escapes
+        # solve in f64 and fail in f32 — round-2 census); harvested at
+        # the top of a later call while the TPU loop keeps running.
+        self.stall_rounds[stalled & accepted] = 0
+        self.stall_rounds[stalled & ~accepted] += 1
+        stubborn = stalled & ~accepted & (err > 0.03) \
+            & (self.stall_rounds >= self.f64_after)
+        if self.use_f64 and self._f64_job is None and stubborn.any():
+            sel = np.flatnonzero(stubborn)[:self.chunk]
+            x0s = np.asarray(st.x)[sel]
+            xg, ug = self._ik_guess(jnp.asarray(x0s), anchor=self.round,
+                                    via=True)
+            from .escape_f64 import EscapeF64Job
+            self._f64_job = EscapeF64Job(sel, x0s, np.asarray(xg),
+                                         np.asarray(ug), N=self.replan.N)
+            self.n_f64 += 1
+            if verbose:
+                print(f"  f64 escape launched for {sel.size} problems "
+                      f"{sel.tolist()}", flush=True)
+        return st
 
     def seed_plans(self, st: SimState, verbose: bool = False) -> SimState:
         """t=0 seeding: solve a long-horizon to-target plan for EVERY
@@ -429,76 +509,91 @@ class StallReplanner:
         idx = np.flatnonzero(err > max(0.02, 2 * model.cfg.tol_conv))
         if idx.size == 0:
             return st
-        return self._replan_and_splice(st, idx, err, verbose)
+        st, _ = self._replan_and_splice(st, idx, err, verbose)
+        return st
 
     def _replan_and_splice(self, st: SimState, idx, err,
-                           verbose: bool = False) -> SimState:
-        model = self.model
-        N = self.ctrl.N
+                           verbose: bool = False):
+        """Batched replan solves for the stalled set; returns the updated
+        state and the full-batch accepted mask."""
+        accepted = np.zeros(err.shape[0], bool)
         for a in range(0, idx.size, self.chunk):
             sel = idx[a:a + self.chunk]
             pad = self.chunk - sel.size
             sel_p = np.concatenate([sel, np.repeat(sel[:1], pad)])
             x0s = jnp.asarray(np.asarray(st.x)[sel_p])
             xs, us, feas, err_T, viol = self._replan_chunk(x0s)
-            feas = np.asarray(feas)
-            err_T = np.asarray(err_T)
-            viol = np.asarray(viol)
-            improve = err_T < err[sel_p] - self.accept_margin
-            # tier 1: feasible plan -> guess splice + guidance
-            ok_s = feas & improve
-            # tier 2: near-feasible plan -> GUIDANCE ONLY (cost shaping;
-            # constraints stay with the MPC). Reaching the target region
-            # OR making a big dent (>= 15 cm) both qualify: a partial
-            # route still moves the loop to a state the next stall
-            # replan can finish from (chained replanning)
-            ok_g = ~feas & improve & (viol < 0.05) \
-                & ((err_T < 0.05) | (err_T < err[sel_p] - 0.15))
-            self.n_replans += sel.size
-            accept_s = np.zeros(err.shape[0], bool)
-            accept_g = np.zeros(err.shape[0], bool)
-            accept_s[sel] = ok_s[:sel.size]
-            accept_g[sel] = ok_g[:sel.size]
-            if not (accept_s.any() or accept_g.any()):
-                continue
-            self.n_accepted += int(accept_s.sum() + accept_g.sum())
-            ok_any = ok_s | ok_g
-            any_sel = sel[ok_any[:sel.size]]
-            # guess splice (tier 1 only; set_guess semantics)
-            xg_new = np.asarray(st.ctrl.xg).copy()
-            ug_new = np.asarray(st.ctrl.ug).copy()
-            s_sel = sel[ok_s[:sel.size]]
-            xg_new[s_sel] = np.asarray(xs[:sel.size, :N + 1])[ok_s[:sel.size]]
-            ug_new[s_sel] = np.asarray(us[:sel.size, :N])[ok_s[:sel.size]]
-            # plans' EE paths + timed guidance (both tiers): the FULL
-            # plan path loads into the guidance buffer, pointer at 0
-            plan_x = np.asarray(xs[:sel.size])[ok_any[:sel.size]]
-            plan_ee = np.asarray(jax.vmap(jax.vmap(model.ee_pos))(
-                jnp.asarray(plan_x)))
-            self.plan_ee[any_sel] = plan_ee
-            self.plan_active[any_sel] = True
-            self.plan_ptr[any_sel] = 0
-            p_guide = np.asarray(st.ctrl.p_guide).copy()
-            guide_on = np.asarray(st.ctrl.guide_on).copy()
-            ptr = np.asarray(st.ctrl.plan_ptr).copy()
-            p_guide[any_sel] = plan_ee
-            guide_on[any_sel] = True
-            ptr[any_sel] = 0
-            ctrl_new = dataclasses.replace(
-                st.ctrl, xg=jnp.asarray(xg_new), ug=jnp.asarray(ug_new),
-                x_viable=jnp.asarray(xg_new[:, -1]),
-                p_guide=jnp.asarray(p_guide, st.ctrl.xg.dtype),
-                plan_ptr=jnp.asarray(ptr, jnp.int32),
-                guide_on=jnp.asarray(guide_on),
-                r=jnp.where(jnp.asarray(accept_s),
-                            jnp.asarray(self.ctrl.N, st.ctrl.r.dtype),
-                            st.ctrl.r),
-                fails=jnp.where(jnp.asarray(accept_s),
-                                jnp.zeros_like(st.ctrl.fails),
-                                st.ctrl.fails))
-            st = dataclasses.replace(st, ctrl=ctrl_new)
-            if verbose:
-                print(f"  replan: {int(accept_s.sum())} spliced + "
-                      f"{int(accept_g.sum())} guide-only / {sel.size} "
-                      f"(err {np.round(err_T[:sel.size], 4)})", flush=True)
-        return st
+            s = sel.size
+            self.n_replans += s
+            st, acc = self._splice_plans(
+                st, sel, np.asarray(xs)[:s], np.asarray(us)[:s],
+                np.asarray(feas)[:s], np.asarray(err_T)[:s],
+                np.asarray(viol)[:s], err[sel], verbose)
+            accepted |= acc
+        return st, accepted
+
+    def _splice_plans(self, st: SimState, sel, xs, us, feas, err_T, viol,
+                      err_sel, verbose: bool = False, tag: str = "replan"):
+        """Two-tier acceptance + splice for a set of solved plans
+        (sel-indexed arrays, full plan length self.replan.N). Returns
+        (state, full-batch accepted mask)."""
+        model = self.model
+        N = self.ctrl.N
+        B = np.asarray(st.x).shape[0]
+        improve = err_T < err_sel - self.accept_margin
+        # tier 1: feasible plan -> guess splice + guidance
+        ok_s = feas & improve
+        # tier 2: near-feasible plan -> GUIDANCE ONLY (cost shaping;
+        # constraints stay with the MPC). Reaching the target region
+        # OR making a big dent (>= 15 cm) both qualify: a partial
+        # route still moves the loop to a state the next stall
+        # replan can finish from (chained replanning)
+        ok_g = ~feas & improve & (viol < 0.05) \
+            & ((err_T < 0.05) | (err_T < err_sel - 0.15))
+        accept_s = np.zeros(B, bool)
+        accept_g = np.zeros(B, bool)
+        accept_s[sel] = ok_s
+        accept_g[sel] = ok_g
+        if not (accept_s.any() or accept_g.any()):
+            return st, accept_s
+        self.n_accepted += int(accept_s.sum() + accept_g.sum())
+        ok_any = ok_s | ok_g
+        any_sel = sel[ok_any]
+        # guess splice (tier 1 only; set_guess semantics)
+        xg_new = np.asarray(st.ctrl.xg).copy()
+        ug_new = np.asarray(st.ctrl.ug).copy()
+        s_sel = sel[ok_s]
+        xg_new[s_sel] = np.asarray(xs[:, :N + 1])[ok_s]
+        ug_new[s_sel] = np.asarray(us[:, :N])[ok_s]
+        # plans' EE paths + timed guidance (both tiers): the FULL
+        # plan path loads into the guidance buffer, pointer at 0
+        plan_x = xs[ok_any]
+        plan_ee = np.asarray(jax.vmap(jax.vmap(model.ee_pos))(
+            jnp.asarray(plan_x)))
+        self.plan_ee[any_sel] = plan_ee
+        self.plan_active[any_sel] = True
+        self.plan_ptr[any_sel] = 0
+        p_guide = np.asarray(st.ctrl.p_guide).copy()
+        guide_on = np.asarray(st.ctrl.guide_on).copy()
+        ptr = np.asarray(st.ctrl.plan_ptr).copy()
+        p_guide[any_sel] = plan_ee
+        guide_on[any_sel] = True
+        ptr[any_sel] = 0
+        ctrl_new = dataclasses.replace(
+            st.ctrl, xg=jnp.asarray(xg_new), ug=jnp.asarray(ug_new),
+            x_viable=jnp.asarray(xg_new[:, -1]),
+            p_guide=jnp.asarray(p_guide, st.ctrl.xg.dtype),
+            plan_ptr=jnp.asarray(ptr, jnp.int32),
+            guide_on=jnp.asarray(guide_on),
+            r=jnp.where(jnp.asarray(accept_s),
+                        jnp.asarray(self.ctrl.N, st.ctrl.r.dtype),
+                        st.ctrl.r),
+            fails=jnp.where(jnp.asarray(accept_s),
+                            jnp.zeros_like(st.ctrl.fails),
+                            st.ctrl.fails))
+        st = dataclasses.replace(st, ctrl=ctrl_new)
+        if verbose:
+            print(f"  {tag}: {int(accept_s.sum())} spliced + "
+                  f"{int(accept_g.sum())} guide-only / {sel.size} "
+                  f"(err {np.round(err_T, 4)})", flush=True)
+        return st, accept_s | accept_g

@@ -218,3 +218,34 @@ def test_backup_batched_matches_vmapped(model):
                                atol=1e-7)
     np.testing.assert_array_equal(np.asarray(rb.status),
                                   np.asarray(rv.status))
+
+
+def test_lm_drop_near_target(model):
+    """With lm_drop_tol set, the schedule's lm_scale drops to
+    lm_drop_factor when the guess head is within tol of the EE target,
+    and stays 1.0 when far or under plan guidance (the LM-drop is a
+    finishing aid, not a transit behavior)."""
+    import dataclasses
+
+    from safe_mpc_tpu.controllers.base import MPCController
+
+    mid = jnp.asarray((model.x_min + model.x_max) / 2).at[model.nq:].set(0.0)
+    ee_mid = np.asarray(model.ee_pos(mid))
+    cfg2 = model.cfg.with_(ee_ref=tuple(float(v) for v in ee_mid))
+    model2 = ManipulatorModel(cfg2)
+    ctrl = MPCController(model2, N=N, lm_drop_tol=5e-3, lm_drop_factor=0.02)
+
+    st_near = ctrl.initial_state(mid)
+    assert float(ctrl.schedule(st_near).lm_scale) == pytest.approx(0.02)
+
+    far = mid.at[0].add(0.4)
+    st_far = ctrl.initial_state(far)
+    assert float(ctrl.schedule(st_far).lm_scale) == 1.0
+
+    # guidance overrides the drop (transit, not finishing)
+    st_guided = dataclasses.replace(st_near, guide_on=jnp.asarray(True))
+    assert float(ctrl.schedule(st_guided).lm_scale) == 1.0
+
+    # default (lm_drop_tol=0): always 1.0
+    ctrl0 = MPCController(model2, N=N)
+    assert float(ctrl0.schedule(st_near).lm_scale) == 1.0

@@ -92,17 +92,26 @@ def test_finisher_splices_near_misses():
     # for one inside (tol_conv, finish_tol) that passes check_collision.
     q_tgt, ok = solve_ik_multistart(model, jnp.asarray(model.ee_ref))
     assert bool(ok)
-    x_nm = None
-    for delta in (0.008, -0.008, 0.006, -0.006, 0.004, -0.004, 0.003):
-        cand = np.array(q_tgt, np.float64)
-        cand[:model.nq] += delta
-        cand[model.nq:] = 0.0
+    def _valid(cand):
         err0 = float(np.linalg.norm(
             np.asarray(model.ee_pos(jnp.asarray(cand))) -
             np.asarray(model.ee_ref)))
-        if cfg.tol_conv < err0 < rp.finish_tol \
-                and bool(model.check_collision(jnp.asarray(cand))) \
-                and bool(model.check_state_bounds(jnp.asarray(cand))):
+        return (cfg.tol_conv < err0 < rp.finish_tol
+                and bool(model.check_collision(jnp.asarray(cand)))
+                and bool(model.check_state_bounds(jnp.asarray(cand))))
+
+    deltas = [np.full(model.nq, d) for d in
+              (0.008, -0.008, 0.006, -0.006, 0.004, -0.004, 0.003)]
+    # fallback: seeded random per-joint perturbations, so a cage/IK-anchor
+    # change cannot starve the fixed blanket list (ADVICE r2)
+    rng = np.random.default_rng(0)
+    deltas += list(rng.uniform(-0.01, 0.01, size=(64, model.nq)))
+    x_nm = None
+    for delta in deltas:
+        cand = np.array(q_tgt, np.float64)
+        cand[:model.nq] += delta
+        cand[model.nq:] = 0.0
+        if _valid(cand):
             x_nm = cand
             break
     assert x_nm is not None, "no collision-free near-miss state found"
@@ -125,6 +134,48 @@ def test_finisher_splices_near_misses():
     assert np.all(err_T < 0.5 * cfg.tol_conv), f"finisher err_T={err_T}"
 
 
+def test_finisher_backoff_stops_retrying():
+    """A near-miss whose finisher solve never certifies stops consuming
+    solves after `finish_max_tries` consecutive misses (ADVICE r2:
+    bounded retries), and a certified splice resets the count."""
+    B, N = 2, 10
+    cfg = load_config().with_(N=N, use_net=False)
+    model = ManipulatorModel(cfg)
+    ctrl = get_controller("naive", model, N=N)
+    replan_ctrl = get_guess_controller("naive", model, N=20, rti_iters=10)
+    rp = StallReplanner(replan_ctrl, ctrl, chunk=B, ik_seeds=1,
+                        ik_starts=16)
+    rp.finish_max_tries = 2
+
+    calls = {"n": 0}
+
+    def failing_fin(xg, ug, x0s):
+        calls["n"] += 1
+        Bp = x0s.shape[0]
+        return (xg, ug, jnp.full((Bp,), 4, jnp.int32),
+                jnp.ones((Bp,), x0s.dtype), jnp.ones((Bp,), x0s.dtype))
+
+    rp._solve_fin = failing_fin
+
+    sim = ClosedLoopSim(ctrl, backup=None)
+    x0s = sample_initial_states(model, B, margin=0.05)
+    st = sim.initial_state(x0s)
+    rp._ensure_plan_store(B)
+    # drive the gate path directly (the geometric err is state-bound):
+    # an err inside (tol_conv, finish_tol) that never improves
+    for _ in range(4):
+        err = np.full(B, 0.01)
+        finish = (err > model.cfg.tol_conv) & (err < rp.finish_tol) \
+            & (rp.finish_tries < rp.finish_max_tries)
+        if finish.any():
+            _, fin_ok = rp._finish_and_splice(
+                st, np.flatnonzero(finish), False)
+            rp.finish_tries[finish & ~fin_ok] += 1
+            rp.finish_tries[fin_ok] = 0
+    assert calls["n"] == 2                 # stopped after max_tries misses
+    assert np.all(rp.finish_tries == 2)
+
+
 def test_replan_noop_when_progressing():
     B, N = 2, 10
     cfg = load_config().with_(N=N, use_net=False)
@@ -142,3 +193,60 @@ def test_replan_noop_when_progressing():
     st2 = rp.maybe_replan(st)
     assert rp.n_replans == 0
     assert st2 is st
+
+
+def test_f64_escape_job_roundtrip():
+    """EscapeF64Job solves a small chunk in a CPU/x64 subprocess and the
+    harvest path splices a feasible improving plan as a fresh guess."""
+    import time
+
+    from safe_mpc_tpu.sim.escape_f64 import EscapeF64Job
+
+    B, N, Nr = 2, 8, 15
+    cfg = load_config().with_(N=N, use_net=False)
+    model = ManipulatorModel(cfg)
+    ctrl = get_controller("naive", model, N=N)
+    replan_ctrl = get_guess_controller("naive", model, N=Nr, rti_iters=10)
+    rp = StallReplanner(replan_ctrl, ctrl, chunk=B, ik_seeds=1,
+                        ik_starts=16)
+
+    sim = ClosedLoopSim(ctrl, backup=None)
+    x0s = sample_initial_states(model, B, margin=0.05)
+    st = sim.initial_state(x0s)
+    rp._ensure_plan_store(B)
+
+    # launch: cold-hold guesses from the initial states
+    xg, ug = rp._hold_guess(x0s)
+    job = EscapeF64Job(np.arange(B), np.asarray(x0s), np.asarray(xg),
+                       np.asarray(ug), N=Nr, sqp_iters=60, qp_iters=25)
+    deadline = time.time() + 540
+    out = None
+    while time.time() < deadline:
+        out = job.poll()
+        if out is not None:
+            break
+        time.sleep(2.0)
+    assert out is not None, "f64 escape worker did not finish in time"
+    sel, x0, xs, us, status, err_T, viol = out
+    assert xs.dtype == np.float64
+    assert np.all(status == 0), f"f64 solve failed: {status}"
+
+    # harvest through the replanner splice machinery
+    rp._f64_job = _DoneJob(out)
+    ee = np.asarray(jax.vmap(model.ee_pos)(st.x))
+    err = np.linalg.norm(ee - np.asarray(model.ee_ref)[None], axis=1)
+    st2 = rp._harvest_f64(st, err)
+    assert rp.n_f64_accepted >= 1
+    changed = np.flatnonzero(np.any(
+        np.asarray(st2.ctrl.ug) != np.asarray(st.ctrl.ug), axis=(1, 2)))
+    assert changed.size >= 1
+    np.testing.assert_allclose(np.asarray(st2.ctrl.xg[changed, 0]),
+                               np.asarray(x0s)[changed], atol=1e-5)
+
+
+class _DoneJob:
+    def __init__(self, out):
+        self._out = out
+
+    def poll(self):
+        return self._out

@@ -44,7 +44,9 @@ def _batched_schedules(spec, rng):
             p_ee=base.p_ee + 0.01 * i,
             safe_active=sa, safe_soft=ss,
             safe_zl=jnp.full(N + 1, 1e4 * (i + 1.0)),
-            safe_zu=jnp.full(N + 1, 1e4 * (i + 1.0)))
+            safe_zu=jnp.full(N + 1, 1e4 * (i + 1.0)),
+            # per-problem LM scaling (the near-target LM drop)
+            lm_scale=jnp.asarray(1.0 if i % 2 else 0.05))
 
     return jax.tree.map(lambda *ls: jnp.stack(ls), *[one(i) for i in range(B)])
 
