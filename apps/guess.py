@@ -37,16 +37,32 @@ def main(argv=None):
     cfg = config_from_args(args, rti=False)
     if backend != "cpu":
         cfg = cfg.with_(dtype="float32")
-    model = ManipulatorModel(cfg)
     cont_name = args["controller"]
     horizon = args["horizon"]
+
+    # tracking branch (guess_acados.py:167-227): IK on the trajectory
+    # start -> cold guess -> full-SQP tracking OCP; the guess replicates
+    # x test_num (per-test URDF randomization only perturbs the PLANT —
+    # the reference's per-test IK + OCP use the nominal model, so its
+    # loop produces test_num near-identical guesses; one solve +
+    # replication is the batched equivalent)
+    track = args.get("track", "none")
+    traj = None
+    if track != "none":
+        cfg = cfg.with_(track_traj=True)
+    model = ManipulatorModel(cfg)
+    if track != "none":
+        from safe_mpc_tpu.tasks.trajectories import get_trajectory
+        traj = get_trajectory(cfg, track, N=horizon)
+        traj = traj[:, : cfg.n_steps + 1 + horizon]
     test_num = args.get("batch") or cfg.test_num
 
     names = [cont_name]
     if cont_name not in ("naive", "zerovel"):
         names += ["naive", "zerovel"]
     ctrls = {n: get_guess_controller(n, model, N=horizon,
-                                     rti_iters=min(cfg.nlp_max_iter, 120))
+                                     rti_iters=min(cfg.nlp_max_iter, 120),
+                                     traj=traj)
              for n in dict.fromkeys(names)}
 
     def solver_for(ctrl):
@@ -61,9 +77,39 @@ def main(argv=None):
 
     t0 = time.time()
     main_ctrl = ctrls[cont_name]
+    dt = jnp.float64 if dtype == "float64" else jnp.float32
+
+    if track != "none":
+        from safe_mpc_tpu.tasks.ik import solve_ik_multistart
+
+        x0, ok = solve_ik_multistart(model, jnp.asarray(traj[:, 0], dt))
+        if not bool(ok):
+            raise SystemExit("IK on the trajectory start did not converge")
+        data = {}
+        # solve each controller's tracking OCP once from the IK start
+        for n in names:
+            solve_n = solver_for(ctrls[n])
+            xs, us, okg = solve_n(x0[None].astype(dt))
+            okb = bool(np.asarray(okg)[0])
+            print(f"  {n}: tracking guess "
+                  f"{'accepted' if okb else 'FAILED -> fallback'}")
+            if n == cont_name and not okb:
+                raise SystemExit("tracking guess failed for the main "
+                                 "controller")
+            if okb:
+                data[n] = (np.tile(np.asarray(xs), (test_num, 1, 1)),
+                           np.tile(np.asarray(us), (test_num, 1, 1)))
+            else:   # fall back to the safe guess (guess_acados.py:211-224)
+                data[n] = data[cont_name]
+        for n, (xs, us) in data.items():
+            path = guess_path(cfg, n, horizon)
+            save_guess(path, xs, us)
+            print(f"saved {path}")
+        print(f"elapsed {time.time() - t0:.1f}s")
+        return
+
     accepted_x, accepted_xs, accepted_us = [], [], []
     offset = 0
-    dt = jnp.float64 if dtype == "float64" else jnp.float32
     solve_main = solver_for(main_ctrl)
     # fixed-size chunks keep the batched full-SQP program bounded (the
     # remote TPU worker is fragile above ~32 problems x N=45 x 120 iters)
