@@ -137,7 +137,7 @@ def main(argv=None):
     t0 = time.time()
     res = sim.run(x0s, xg=jnp.asarray(xg), ug=jnp.asarray(ug),
                   n_steps=n_steps, plant_params=plant_params, verbose=True,
-                  replanner=replanner)
+                  replanner=replanner, segment=args.get("segment", 100))
     wall = time.time() - t0
     n_solves = test_num * n_steps
     print(f"\nSimulated {test_num} tests x {n_steps} steps in {wall:.1f}s "

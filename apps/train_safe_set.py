@@ -30,6 +30,10 @@ def main(argv=None):
                         help="braking-solve chunk size (HBM cap; each "
                              "problem holds ~100 MB live during the SQP)")
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--out_suffix", type=str, default="",
+                        help="filename suffix (e.g. _8k) so an "
+                             "experimental retrain does not clobber the "
+                             "deployed net")
     args = parser.parse_args(argv)
     backend, dtype = setup_runtime(force_cpu=args.cpu)
     print(f"backend={backend} dtype={dtype}")
@@ -68,11 +72,13 @@ def main(argv=None):
     nn_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "nn_models", args.system)
     os.makedirs(nn_dir, exist_ok=True)
-    npz_path = os.path.join(nn_dir, f"{args.system}_safe_set.npz")
+    npz_path = os.path.join(
+        nn_dir, f"{args.system}_safe_set{args.out_suffix}.npz")
     ts.save_npz(npz_path, params)
     print(f"saved {npz_path}")
     try:
-        pt_path = os.path.join(nn_dir, f"{args.system}_safe_set.pt")
+        pt_path = os.path.join(
+            nn_dir, f"{args.system}_safe_set{args.out_suffix}.pt")
         ts.export_torch_checkpoint(pt_path, params)
         print(f"saved {pt_path} (reference-format torch checkpoint; set "
               f"network_path in config.yaml to use it)")

@@ -367,6 +367,10 @@ def parse_args(argv: list[str] | None = None) -> dict[str, Any]:
                              "(0 = off; the flagship campaign uses 5e-3 "
                              "so the LM anchor stops fighting the final "
                              "millimetre)")
+    parser.add_argument("--segment", type=int, default=100,
+                        help="closed-loop scan segment length (smaller = "
+                             "more replan/finisher hooks per episode, "
+                             "more host round-trips)")
     parser.add_argument("--out_dir", type=str, default=None,
                         help="override the artifact directory (use a "
                              "scratch dir for debug runs so canonical "

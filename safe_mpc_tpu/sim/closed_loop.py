@@ -325,7 +325,8 @@ class ClosedLoopSim:
                     print(f"  sim step {(k + 1) * seg}/{n_steps} "
                           f"(done: {done}/{B})", flush=True)
                 if replanner is not None and k < n_full - 1:
-                    st = replanner.maybe_replan(st, verbose=verbose)
+                    st = replanner.maybe_replan(
+                        st, verbose=verbose, frac_done=(k + 1) / n_full)
             if rem:
                 st, logs_k = jax.lax.scan(scan_step, st, None, length=rem)
                 if self.log_trajectories:

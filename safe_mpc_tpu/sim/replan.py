@@ -123,13 +123,29 @@ class StallReplanner:
         # skipped, a certified splice resets the count
         self.finish_max_tries = 4
         self.finish_tries: np.ndarray | None = None
-        # asynchronous f64 escape solves for deep wedges (escape_f64.py)
+        # asynchronous f64 escape solves for deep wedges (escape_f64.py).
+        # f64_after=1: the wedges are genuine local minima of even the
+        # N=240 f32 OCP (round-3 diag: the cold-hold escape re-converges
+        # to them exactly), so waiting for repeat on-device failures just
+        # burns episode steps — launch after the FIRST failed round. Each
+        # job stacks TWO guesses per problem (branch-swap anchor direct +
+        # via home); the harvest keeps the best per problem. Measured on
+        # the round-3 flagship wedge census: the branch-swap guess moves
+        # ALL 16 wedged problems to <= 22 mm (7 straight to 2.6 mm), and
+        # the finisher/lm-drop machinery converts the rest from there.
         self.use_f64 = True
-        self.f64_after = 2
+        self.f64_after = 1
+        self.f64_sqp_iters = 100
         self.stall_rounds: np.ndarray | None = None
         self._f64_job = None
         self.n_f64 = 0
         self.n_f64_accepted = 0
+        # "park until the planner returns": problems whose seed plan ends
+        # in a wedge (or had no accepted seed) HOLD at their current pose
+        # under static guidance while their f64 job runs — transiting
+        # into the wedge both wastes episode steps and invalidates the
+        # job's x0 (the harvest staleness check). Cleared at harvest.
+        self.hold_for_f64: np.ndarray | None = None
 
     # ------------------------------------------------------------- guesses
 
@@ -158,8 +174,12 @@ class StallReplanner:
                                axis=2)
             pick = self.q_iks[np.argmin(d, axis=1)]      # (B, nx)
         else:
-            pick = np.tile(self.q_iks[anchor % len(self.q_iks)][None],
-                           (x0s.shape[0], 1))
+            idx = np.asarray(anchor) % len(self.q_iks)
+            if idx.ndim == 0:
+                pick = np.tile(self.q_iks[int(idx)][None],
+                               (x0s.shape[0], 1))
+            else:                                        # per-problem anchor
+                pick = self.q_iks[idx]
         if via:
             q_home = 0.5 * (np.asarray(model.robot.q_min)
                             + np.asarray(model.robot.q_max))
@@ -305,6 +325,8 @@ class StallReplanner:
             self.finish_tries = np.zeros(B, int)
         if self.stall_rounds is None:
             self.stall_rounds = np.zeros(B, int)
+        if self.hold_for_f64 is None:
+            self.hold_for_f64 = np.zeros(B, bool)
 
     def _update_guidance(self, st: SimState, ee, err):
         """Between-segment plan maintenance: re-time each active plan's
@@ -360,6 +382,26 @@ class StallReplanner:
             return st
         self._f64_job = None
         sel, x0, xs, us, status, err_T, viol = out
+        # release parked problems (accepted ones get fresh plans below;
+        # the rest resume the normal stall machinery with guidance off)
+        held = np.unique(sel)[self.hold_for_f64[np.unique(sel)]]
+        if held.size:
+            self.hold_for_f64[held] = False
+            guide_on = np.asarray(st.ctrl.guide_on).copy()
+            guide_on[held] = False
+            st = dataclasses.replace(st, ctrl=dataclasses.replace(
+                st.ctrl, guide_on=jnp.asarray(guide_on)))
+        # best-per-problem over the stacked guesses: feasible first, then
+        # lower terminal error (a job carries 2 candidate plans per
+        # problem; duplicate sel rows would otherwise last-write-win)
+        order = np.lexsort((err_T, status != 0))
+        first = {}
+        for i in order:
+            first.setdefault(int(sel[i]), i)
+        pick = np.fromiter(first.values(), dtype=int)
+        sel, x0 = sel[pick], x0[pick]
+        xs, us = xs[pick], us[pick]
+        status, err_T, viol = status[pick], err_T[pick], viol[pick]
         fresh = np.max(np.abs(np.asarray(st.x)[sel] - x0), axis=1) < 0.05
         keep = fresh & np.isfinite(err_T)
         if not keep.any():
@@ -381,9 +423,17 @@ class StallReplanner:
 
     # ------------------------------------------------------------- hook
 
-    def maybe_replan(self, st: SimState, verbose: bool = False) -> SimState:
+    def maybe_replan(self, st: SimState, verbose: bool = False,
+                     frac_done: float = 0.0) -> SimState:
         """Between-segment hook: advance guidance on active plans, detect
-        stalls, replan, splice guesses + set guidance."""
+        stalls, replan, splice guesses + set guidance.
+
+        `frac_done` (episode progress in [0, 1]) switches the finisher to
+        ENDGAME mode past 0.6: any running problem within finish_tol gets
+        a finisher attempt regardless of the slow-progress gate — the
+        round-3 near-miss census showed those problems converge given
+        machinery time (15/16 in +200 steps), so late arrivals must not
+        wait for a stall verdict."""
         model = self.model
         B = st.x.shape[0]
         self._ensure_plan_store(B)
@@ -422,6 +472,8 @@ class StallReplanner:
         # verified sub-0.5*tol solution with guidance off
         slow = (self.prev_err - err < 1e-3) \
             if self.prev_err is not None else np.zeros(len(err), bool)
+        if frac_done >= 0.6:
+            slow = np.ones(len(err), bool)   # endgame: always attempt
         finish = running0 & (err > model.cfg.tol_conv) \
             & (err < self.finish_tol) & slow & ~self.plan_active \
             & (self.finish_tries < self.finish_max_tries)
@@ -462,8 +514,8 @@ class StallReplanner:
         # in _update_guidance); unguided ones by progress toward the task
         stalled = running & (err > model.cfg.tol_conv) \
             & (self.prev_err - err < self.progress_tol) \
-            & ~self.plan_active & ~fin_ok
-        stalled |= running & abandoned
+            & ~self.plan_active & ~fin_ok & ~self.hold_for_f64
+        stalled |= running & abandoned & ~self.hold_for_f64
         self.prev_err = err
         idx = np.flatnonzero(stalled)
         if idx.size == 0:
@@ -479,19 +531,35 @@ class StallReplanner:
         self.stall_rounds[stalled & ~accepted] += 1
         stubborn = stalled & ~accepted & (err > 0.03) \
             & (self.stall_rounds >= self.f64_after)
-        if self.use_f64 and self._f64_job is None and stubborn.any():
-            sel = np.flatnonzero(stubborn)[:self.chunk]
-            x0s = np.asarray(st.x)[sel]
-            xg, ug = self._ik_guess(jnp.asarray(x0s), anchor=self.round,
-                                    via=True)
-            from .escape_f64 import EscapeF64Job
-            self._f64_job = EscapeF64Job(sel, x0s, np.asarray(xg),
-                                         np.asarray(ug), N=self.replan.N)
-            self.n_f64 += 1
-            if verbose:
-                print(f"  f64 escape launched for {sel.size} problems "
-                      f"{sel.tolist()}", flush=True)
+        if stubborn.any():
+            self._launch_f64(st, np.flatnonzero(stubborn), verbose)
         return st
+
+    def _launch_f64(self, st: SimState, sel, verbose: bool = False):
+        """Start one asynchronous f64 escape job (if the slot is free)
+        with TWO stacked guesses per problem: branch-swap anchor direct
+        and via home (the wedges are wrong-arm-branch traps; the
+        FARTHEST IK anchor is the other branch)."""
+        if not self.use_f64 or self._f64_job is not None \
+                or self.q_iks is None or sel.size == 0:
+            return
+        sel = np.asarray(sel)[:self.chunk]
+        x0s = np.asarray(st.x)[sel]
+        nq = self.model.nq
+        far = np.argmax(np.linalg.norm(
+            x0s[:, None, :nq] - self.q_iks[None, :, :nq], axis=2), axis=1)
+        xg1, ug1 = self._ik_guess(jnp.asarray(x0s), anchor=far)
+        xg2, ug2 = self._ik_guess(jnp.asarray(x0s), anchor=far, via=True)
+        xg = np.concatenate([np.asarray(xg1), np.asarray(xg2)])
+        ug = np.concatenate([np.asarray(ug1), np.asarray(ug2)])
+        from .escape_f64 import EscapeF64Job
+        self._f64_job = EscapeF64Job(
+            np.concatenate([sel, sel]), np.tile(x0s, (2, 1)), xg, ug,
+            N=self.replan.N, sqp_iters=self.f64_sqp_iters)
+        self.n_f64 += 1
+        if verbose:
+            print(f"  f64 escape launched for {sel.size} problems "
+                  f"{sel.tolist()} (2 guesses each)", flush=True)
 
     def seed_plans(self, st: SimState, verbose: bool = False) -> SimState:
         """t=0 seeding: solve a long-horizon to-target plan for EVERY
@@ -510,7 +578,52 @@ class StallReplanner:
         if idx.size == 0:
             return st
         st, _ = self._replan_and_splice(st, idx, err, verbose)
+        # seed-time f64: a seed plan that itself ends in a wedge (> 2 cm
+        # from the target) guides the problem INTO the wedge — the
+        # long-horizon OCP's own local minimum (round-3 census). Launch
+        # the f64 branch-swap job NOW for those (and for problems with
+        # no accepted plan), and PARK them at their start pose under
+        # static guidance until the job returns — transiting toward the
+        # wedge wastes episode steps and invalidates the job's x0.
+        if self.use_f64 and self.q_iks is not None:
+            ee_ref = np.asarray(model.ee_ref)
+            plan_err = np.linalg.norm(self.plan_ee[:, -1] - ee_ref, axis=1)
+            bad = self.plan_active & (plan_err > 0.02)
+            bad[idx] |= ~self.plan_active[idx]
+            bad_idx = np.flatnonzero(bad)[:self.chunk]
+            if bad_idx.size:
+                st = self._hold(st, bad_idx)
+                self._launch_f64(st, bad_idx, verbose)
+                if verbose:
+                    print(f"  parked {bad_idx.size} wedge-bound problems "
+                          f"for seed-time f64", flush=True)
         return st
+
+    def _hold(self, st: SimState, sel) -> SimState:
+        """Park `sel` at their current pose: static EE guidance + hold
+        guess; their plans (if any) deactivate. Marked hold_for_f64 so
+        the stall/brake/finisher machinery skips them until harvest."""
+        self.hold_for_f64[sel] = True
+        self.plan_active[sel] = False
+        ee_now = np.asarray(jax.vmap(self.model.ee_pos)(st.x))[sel]
+        N = self.ctrl.N
+        xg_new = np.asarray(st.ctrl.xg).copy()
+        ug_new = np.asarray(st.ctrl.ug).copy()
+        p_guide = np.asarray(st.ctrl.p_guide).copy()
+        guide_on = np.asarray(st.ctrl.guide_on).copy()
+        x_now = np.asarray(st.x)[sel]
+        xg_new[sel] = np.tile(x_now[:, None], (1, N + 1, 1))
+        ug_new[sel] = 0.0
+        p_guide[sel] = ee_now[:, None]
+        guide_on[sel] = True
+        ctrl_new = dataclasses.replace(
+            st.ctrl, xg=jnp.asarray(xg_new), ug=jnp.asarray(ug_new),
+            p_guide=jnp.asarray(p_guide, st.ctrl.xg.dtype),
+            guide_on=jnp.asarray(guide_on),
+            plan_ptr=jnp.where(
+                jnp.asarray(np.isin(np.arange(len(guide_on)), sel)),
+                jnp.zeros_like(st.ctrl.plan_ptr), st.ctrl.plan_ptr))
+        return dataclasses.replace(st, ctrl=ctrl_new)
 
     def _replan_and_splice(self, st: SimState, idx, err,
                            verbose: bool = False):

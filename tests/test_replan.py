@@ -25,6 +25,7 @@ def test_stall_replan_splices_guesses():
                                        rti_iters=40, lm=1e-3)
     rp = StallReplanner(replan_ctrl, ctrl, chunk=B, sqp_iters=40,
                         ik_seeds=2, ik_starts=16)
+    rp.use_f64 = False          # no escape subprocesses inside tests
     assert rp.q_iks is not None and rp.q_iks.shape[1] == model.nx
 
     sim = ClosedLoopSim(ctrl, backup=None)
@@ -83,6 +84,7 @@ def test_finisher_splices_near_misses():
     replan_ctrl = get_guess_controller("naive", model, N=30, rti_iters=10)
     rp = StallReplanner(replan_ctrl, ctrl, chunk=B, sqp_iters=60,
                         ik_seeds=1, ik_starts=16)
+    rp.use_f64 = False
 
     # build a near-miss state: IK solution of the target, perturbed so
     # the EE sits a few mm off, at rest. The perturbed state must be
@@ -145,6 +147,7 @@ def test_finisher_backoff_stops_retrying():
     replan_ctrl = get_guess_controller("naive", model, N=20, rti_iters=10)
     rp = StallReplanner(replan_ctrl, ctrl, chunk=B, ik_seeds=1,
                         ik_starts=16)
+    rp.use_f64 = False
     rp.finish_max_tries = 2
 
     calls = {"n": 0}
@@ -183,6 +186,7 @@ def test_replan_noop_when_progressing():
     ctrl = get_controller("naive", model, N=N)
     replan_ctrl = get_guess_controller("naive", model, N=20, rti_iters=10)
     rp = StallReplanner(replan_ctrl, ctrl, chunk=B, ik_seeds=1)
+    rp.use_f64 = False
 
     sim = ClosedLoopSim(ctrl, backup=None)
     x0s = sample_initial_states(model, B, margin=0.05)
@@ -250,3 +254,46 @@ class _DoneJob:
 
     def poll(self):
         return self._out
+
+
+def test_hold_for_f64_parks_and_releases():
+    """Wedge-bound problems park under static EE guidance while their
+    f64 job runs (hold_for_f64): held problems are excluded from stall
+    detection, and the harvest releases them (guidance off) when the
+    job returns without an acceptable plan."""
+    B, N = 2, 10
+    cfg = load_config().with_(N=N, use_net=False)
+    model = ManipulatorModel(cfg)
+    ctrl = get_controller("naive", model, N=N)
+    replan_ctrl = get_guess_controller("naive", model, N=20, rti_iters=10)
+    rp = StallReplanner(replan_ctrl, ctrl, chunk=B, ik_seeds=1,
+                        ik_starts=16)
+    rp.use_f64 = False
+
+    sim = ClosedLoopSim(ctrl, backup=None)
+    x0s = sample_initial_states(model, B, margin=0.05)
+    st = sim.initial_state(x0s)
+    rp._ensure_plan_store(B)
+
+    st1 = rp._hold(st, np.array([0]))
+    assert rp.hold_for_f64[0] and not rp.hold_for_f64[1]
+    assert bool(np.asarray(st1.ctrl.guide_on)[0])
+    ee0 = np.asarray(jax.vmap(model.ee_pos)(st.x))[0]
+    np.testing.assert_allclose(np.asarray(st1.ctrl.p_guide)[0],
+                               np.tile(ee0, (st1.ctrl.p_guide.shape[1], 1)),
+                               atol=1e-6)
+    # held problems never stall-flag
+    rp.prev_err = np.full(B, 1.0)
+    st2 = rp.maybe_replan(st1)
+    assert rp.n_replans <= B  # problem 0 excluded (may replan problem 1)
+
+    # a returned job with no acceptable plan releases the hold
+    Bj = 1
+    out = (np.array([0]), np.asarray(st1.x)[:1],
+           np.zeros((Bj, 21, model.nx)), np.zeros((Bj, 20, model.nu)),
+           np.full(Bj, 4), np.full(Bj, np.inf), np.full(Bj, np.inf))
+    rp._f64_job = _DoneJob(out)
+    err = np.full(B, 1.0)
+    st3 = rp._harvest_f64(st2, err)
+    assert not rp.hold_for_f64[0]
+    assert not bool(np.asarray(st3.ctrl.guide_on)[0])
