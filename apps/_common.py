@@ -18,9 +18,10 @@ def setup_runtime(force_cpu: bool = False, cache_dir: str | None = None):
     CPU runs f64 for reference-grade numerics."""
     if force_cpu:
         jax.config.update("jax_platforms", "cpu")
-    cache = cache_dir or os.path.join(
+    from safe_mpc_tpu.utils.cache import host_cache_dir
+    cache = cache_dir or host_cache_dir(os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "generated", "xla_cache")
+        "generated", "xla_cache"))
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

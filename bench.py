@@ -37,8 +37,10 @@ def _setup():
     backend = jax.default_backend()
     if backend == "cpu":
         jax.config.update("jax_enable_x64", False)  # match TPU numerics path
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "generated", f"xla_cache_bench_{backend}")
+    from safe_mpc_tpu.utils.cache import host_cache_dir
+    cache = host_cache_dir(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "generated", f"xla_cache_bench_{backend}"))
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -21,10 +21,22 @@ import sys
 
 
 def main(path: str) -> None:
+    import os
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    # persistent cache (host-fingerprinted): with fixed job shapes the
+    # first job pays the SQP compile, later jobs skip straight to solving
+    from ..utils.cache import host_cache_dir
+
+    cache = host_cache_dir(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "generated", "xla_cache_escape"))
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import numpy as np
     import jax.numpy as jnp

@@ -136,8 +136,10 @@ class StallReplanner:
         self.use_f64 = True
         self.f64_after = 1
         self.f64_sqp_iters = 100
+        self.f64_chunk = 2 * self.chunk   # problems per job (cap)
+        self.f64_max_jobs = 2             # concurrent subprocesses
         self.stall_rounds: np.ndarray | None = None
-        self._f64_job = None
+        self._f64_jobs: list = []
         self.n_f64 = 0
         self.n_f64_accepted = 0
         # "park until the planner returns": problems whose seed plan ends
@@ -371,16 +373,20 @@ class StallReplanner:
         return dataclasses.replace(st, ctrl=ctrl_new), freshly_stalled
 
     def _harvest_f64(self, st: SimState, err, verbose: bool = False):
-        """Collect a finished asynchronous f64 escape job (if any) and
-        splice its plans for problems that are still roughly where the
+        """Collect finished asynchronous f64 escape jobs (if any) and
+        splice their plans for problems that are still roughly where the
         job left them (a wedged state is nearly stationary; the
         staleness check guards the exception)."""
-        if self._f64_job is None:
-            return st
-        out = self._f64_job.poll()
-        if out is None:
-            return st
-        self._f64_job = None
+        for job in list(self._f64_jobs):
+            out = job.poll()
+            if out is None:
+                continue
+            self._f64_jobs.remove(job)
+            st = self._harvest_one_f64(st, err, out, verbose)
+        return st
+
+    def _harvest_one_f64(self, st: SimState, err, out,
+                         verbose: bool = False):
         sel, x0, xs, us, status, err_T, viol = out
         # release parked problems (accepted ones get fresh plans below;
         # the rest resume the normal stall machinery with guidance off)
@@ -417,9 +423,9 @@ class StallReplanner:
 
     def close(self):
         """Cancel any in-flight f64 escape subprocess (end of run)."""
-        if self._f64_job is not None:
-            self._f64_job.cancel()
-            self._f64_job = None
+        for job in self._f64_jobs:
+            job.cancel()
+        self._f64_jobs = []
 
     # ------------------------------------------------------------- hook
 
@@ -535,31 +541,50 @@ class StallReplanner:
             self._launch_f64(st, np.flatnonzero(stubborn), verbose)
         return st
 
-    def _launch_f64(self, st: SimState, sel, verbose: bool = False):
-        """Start one asynchronous f64 escape job (if the slot is free)
-        with TWO stacked guesses per problem: branch-swap anchor direct
-        and via home (the wedges are wrong-arm-branch traps; the
-        FARTHEST IK anchor is the other branch)."""
-        if not self.use_f64 or self._f64_job is not None \
+    def _launch_f64(self, st: SimState, sel, verbose: bool = False,
+                    via_too: bool = True):
+        """Start one asynchronous f64 escape job (if a slot is free).
+        Guesses per problem: branch-swap anchor direct (the wedges are
+        wrong-arm-branch traps; the FARTHEST IK anchor is the other
+        branch) and, with ``via_too``, the via-home variant stacked on
+        top. Seed-time jobs use direct-only — HALF the CPU work, so the
+        harvest lands ~150 episode steps earlier; the stall-path retry
+        jobs stack both."""
+        if not self.use_f64 or len(self._f64_jobs) >= self.f64_max_jobs \
                 or self.q_iks is None or sel.size == 0:
             return
-        sel = np.asarray(sel)[:self.chunk]
+        sel = np.asarray(sel)[:self.f64_chunk]
+        n_real = sel.size
+        # pad to the chunk size: fixed job shapes let the worker's
+        # persistent cache skip the SQP compile on every job after the
+        # first (the harvest's best-per-problem dedup absorbs duplicates)
+        if sel.size < self.f64_chunk:
+            sel = np.concatenate(
+                [sel, np.repeat(sel[:1], self.f64_chunk - sel.size)])
         x0s = np.asarray(st.x)[sel]
         nq = self.model.nq
         far = np.argmax(np.linalg.norm(
             x0s[:, None, :nq] - self.q_iks[None, :, :nq], axis=2), axis=1)
         xg1, ug1 = self._ik_guess(jnp.asarray(x0s), anchor=far)
-        xg2, ug2 = self._ik_guess(jnp.asarray(x0s), anchor=far, via=True)
-        xg = np.concatenate([np.asarray(xg1), np.asarray(xg2)])
-        ug = np.concatenate([np.asarray(ug1), np.asarray(ug2)])
+        if via_too:
+            xg2, ug2 = self._ik_guess(jnp.asarray(x0s), anchor=far,
+                                      via=True)
+            xg = np.concatenate([np.asarray(xg1), np.asarray(xg2)])
+            ug = np.concatenate([np.asarray(ug1), np.asarray(ug2)])
+            sel_j = np.concatenate([sel, sel])
+            x0_j = np.tile(x0s, (2, 1))
+        else:
+            xg, ug = np.asarray(xg1), np.asarray(ug1)
+            sel_j, x0_j = sel, x0s
         from .escape_f64 import EscapeF64Job
-        self._f64_job = EscapeF64Job(
-            np.concatenate([sel, sel]), np.tile(x0s, (2, 1)), xg, ug,
-            N=self.replan.N, sqp_iters=self.f64_sqp_iters)
+        self._f64_jobs.append(EscapeF64Job(
+            sel_j, x0_j, xg, ug,
+            N=self.replan.N, sqp_iters=self.f64_sqp_iters))
         self.n_f64 += 1
         if verbose:
-            print(f"  f64 escape launched for {sel.size} problems "
-                  f"{sel.tolist()} (2 guesses each)", flush=True)
+            print(f"  f64 escape launched for {n_real} problems "
+                  f"{sel[:n_real].tolist()} "
+                  f"({2 if via_too else 1} guess(es) each)", flush=True)
 
     def seed_plans(self, st: SimState, verbose: bool = False) -> SimState:
         """t=0 seeding: solve a long-horizon to-target plan for EVERY
@@ -590,10 +615,13 @@ class StallReplanner:
             plan_err = np.linalg.norm(self.plan_ee[:, -1] - ee_ref, axis=1)
             bad = self.plan_active & (plan_err > 0.02)
             bad[idx] |= ~self.plan_active[idx]
-            bad_idx = np.flatnonzero(bad)[:self.chunk]
+            bad_idx = np.flatnonzero(bad)[:self.f64_chunk
+                                          * self.f64_max_jobs]
             if bad_idx.size:
                 st = self._hold(st, bad_idx)
-                self._launch_f64(st, bad_idx, verbose)
+                for a in range(0, bad_idx.size, self.f64_chunk):
+                    self._launch_f64(st, bad_idx[a:a + self.f64_chunk],
+                                     verbose, via_too=False)
                 if verbose:
                     print(f"  parked {bad_idx.size} wedge-bound problems "
                           f"for seed-time f64", flush=True)

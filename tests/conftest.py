@@ -24,8 +24,14 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: test-suite wall time is dominated by XLA
 # compiles of the solver graphs; reruns become cache hits (the analogue of
 # the reference's prebuilt generated/ C solvers).
-_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                      "generated", "xla_cache_tests")
+import sys as _sys
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from safe_mpc_tpu.utils.cache import host_cache_dir as _hcd
+# host-fingerprinted: a cache written on a different machine can SIGSEGV
+# at load (safe_mpc_tpu/utils/cache.py)
+_cache = _hcd(os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "generated", "xla_cache_tests"))
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

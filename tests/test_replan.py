@@ -236,7 +236,7 @@ def test_f64_escape_job_roundtrip():
     assert np.all(status == 0), f"f64 solve failed: {status}"
 
     # harvest through the replanner splice machinery
-    rp._f64_job = _DoneJob(out)
+    rp._f64_jobs = [_DoneJob(out)]
     ee = np.asarray(jax.vmap(model.ee_pos)(st.x))
     err = np.linalg.norm(ee - np.asarray(model.ee_ref)[None], axis=1)
     st2 = rp._harvest_f64(st, err)
@@ -292,7 +292,7 @@ def test_hold_for_f64_parks_and_releases():
     out = (np.array([0]), np.asarray(st1.x)[:1],
            np.zeros((Bj, 21, model.nx)), np.zeros((Bj, 20, model.nu)),
            np.full(Bj, 4), np.full(Bj, np.inf), np.full(Bj, np.inf))
-    rp._f64_job = _DoneJob(out)
+    rp._f64_jobs = [_DoneJob(out)]
     err = np.full(B, 1.0)
     st3 = rp._harvest_f64(st2, err)
     assert not rp.hold_for_f64[0]

@@ -174,19 +174,23 @@ def test_constant_bias_noise_mode(model):
 def test_crash_test_grid(tmp_path):
     """apps/crash_test.py runs the velocity x horizon grid end-to-end
     (the reference's test_schianto.py:41-105 role) and writes the JSON
-    artifact with one cell per (h, v)."""
+    artifact with one cell per (h, v). Runs as a subprocess — the real
+    CLI surface, and isolated from this process's XLA compiler state
+    (running it in-process after ~140 suite compiles segfaulted the
+    XLA CPU backend_compile on this box)."""
     import json
     import os
+    import subprocess
     import sys
 
-    sys.path.insert(0, os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "apps"))
-    import crash_test
-
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_dir = str(tmp_path)
-    crash_test.main(["--cpu", "--horizons", "6", "--velocities", "0.3",
-                     "--batch", "2", "--n_steps", "8",
-                     "--out_dir", out_dir])
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "apps", "crash_test.py"),
+         "--cpu", "--horizons", "6", "--velocities", "0.3",
+         "--batch", "2", "--n_steps", "8", "--out_dir", out_dir],
+        cwd=repo, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
     out = json.load(open(f"{out_dir}/z1_receding_crash_test.json"))
     assert set(out) == {"h6_v0.3"}
     cell = out["h6_v0.3"]
