@@ -146,8 +146,13 @@ class StallReplanner:
         # in a wedge (or had no accepted seed) HOLD at their current pose
         # under static guidance while their f64 job runs — transiting
         # into the wedge both wastes episode steps and invalidates the
-        # job's x0 (the harvest staleness check). Cleared at harvest.
+        # job's x0 (the harvest staleness check). Cleared at harvest, or
+        # after `hold_max_rounds` hooks without one (a starved/crashed
+        # worker must not park problems for the rest of the episode —
+        # flagship attempt 3 lost 64 problems that way).
         self.hold_for_f64: np.ndarray | None = None
+        self.hold_rounds: np.ndarray | None = None
+        self.hold_max_rounds = 8
 
     # ------------------------------------------------------------- guesses
 
@@ -329,6 +334,7 @@ class StallReplanner:
             self.stall_rounds = np.zeros(B, int)
         if self.hold_for_f64 is None:
             self.hold_for_f64 = np.zeros(B, bool)
+            self.hold_rounds = np.zeros(B, int)
 
     def _update_guidance(self, st: SimState, ee, err):
         """Between-segment plan maintenance: re-time each active plan's
@@ -446,6 +452,22 @@ class StallReplanner:
         ee = np.asarray(jax.vmap(model.ee_pos)(st.x))
         err = np.linalg.norm(ee - np.asarray(model.ee_ref)[None], axis=1)
         st = self._harvest_f64(st, err, verbose)
+        # hold timeout: a parked problem whose job never harvests (worker
+        # starved/crashed) resumes the normal machinery
+        if self.hold_for_f64.any():
+            self.hold_rounds[self.hold_for_f64] += 1
+            expired = self.hold_for_f64 \
+                & (self.hold_rounds > self.hold_max_rounds)
+            if expired.any():
+                self.hold_for_f64[expired] = False
+                guide_on = np.asarray(st.ctrl.guide_on).copy()
+                guide_on[expired] = False
+                st = dataclasses.replace(st, ctrl=dataclasses.replace(
+                    st.ctrl, guide_on=jnp.asarray(guide_on)))
+                if verbose:
+                    print(f"  hold timeout: released "
+                          f"{int(expired.sum())} parked problems",
+                          flush=True)
         st, abandoned = self._update_guidance(st, ee, err)
         self.round += 1
 
@@ -613,7 +635,11 @@ class StallReplanner:
         if self.use_f64 and self.q_iks is not None:
             ee_ref = np.asarray(model.ee_ref)
             plan_err = np.linalg.norm(self.plan_ee[:, -1] - ee_ref, axis=1)
-            bad = self.plan_active & (plan_err > 0.02)
+            # park only WEDGE-ENDERS (2-15 cm: the known local-minimum
+            # band) and problems with no accepted plan; a plan ending
+            # farther out is a long-range PARTIAL that genuinely
+            # progresses — let it transit and chain the next replan
+            bad = self.plan_active & (plan_err > 0.02) & (plan_err < 0.15)
             bad[idx] |= ~self.plan_active[idx]
             bad_idx = np.flatnonzero(bad)[:self.f64_chunk
                                           * self.f64_max_jobs]
@@ -632,6 +658,7 @@ class StallReplanner:
         guess; their plans (if any) deactivate. Marked hold_for_f64 so
         the stall/brake/finisher machinery skips them until harvest."""
         self.hold_for_f64[sel] = True
+        self.hold_rounds[sel] = 0
         self.plan_active[sel] = False
         ee_now = np.asarray(jax.vmap(self.model.ee_pos)(st.x))[sel]
         N = self.ctrl.N
