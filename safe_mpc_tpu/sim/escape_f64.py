@@ -26,8 +26,8 @@ class EscapeF64Job:
     """One in-flight f64 escape solve for a subset of problems."""
 
     def __init__(self, sel: np.ndarray, x0: np.ndarray, xg: np.ndarray,
-                 ug: np.ndarray, N: int, sqp_iters: int = 80,
-                 qp_iters: int = 30, lm: float = 1e-3):
+                 ug: np.ndarray, N: int, sqp_iters: int = 60,
+                 qp_iters: int = 25, lm: float = 1e-3):
         self.sel = np.asarray(sel)
         self.x0 = np.asarray(x0, np.float64)
         fd, self.path = tempfile.mkstemp(suffix=".npz", prefix="escape64_")

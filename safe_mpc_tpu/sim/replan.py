@@ -135,9 +135,14 @@ class StallReplanner:
         # the finisher/lm-drop machinery converts the rest from there.
         self.use_f64 = True
         self.f64_after = 1
-        self.f64_sqp_iters = 100
-        self.f64_chunk = 2 * self.chunk   # problems per job (cap)
-        self.f64_max_jobs = 2             # concurrent subprocesses
+        self.f64_sqp_iters = 60
+        # several SMALL concurrent jobs beat one big one: an XLA CPU
+        # batched SQP runs essentially single-core (the per-step tensors
+        # are too small to multithread), so job latency scales with B
+        # while extra jobs ride idle cores (measured: B=16 ~600 s vs
+        # B=32 ~1100 s; 3 concurrent jobs ~ the price of one)
+        self.f64_chunk = 8                # problems per job (cap)
+        self.f64_max_jobs = 4             # concurrent subprocesses
         self.stall_rounds: np.ndarray | None = None
         self._f64_jobs: list = []
         self.n_f64 = 0
