@@ -114,14 +114,16 @@ class StallReplanner:
                                        lm=1e-3, Q=10.0 * self.model.cfg.Q_weight)
         self._solve_fin = jax.jit(lambda xg, ug, x0s: self._solve_impl(
             self._fin_ctrl, xg, ug, x0s))
-        self.finish_tol = 2e-2
+        # 2.5 cm: measured reach of the N=45 finisher (a 17 mm start
+        # certifies at 0.14 mm; the 5 cm wedge band is beyond it)
+        self.finish_tol = 2.5e-2
         self.n_finishes = 0
         # finisher backoff: consecutive non-certified finisher solves per
         # problem (a collision-adjacent near-miss the finisher can never
         # certify would otherwise re-fire its 60-iter SQP every segment);
         # after `finish_max_tries` consecutive misses the problem is
         # skipped, a certified splice resets the count
-        self.finish_max_tries = 4
+        self.finish_max_tries = 6
         self.finish_tries: np.ndarray | None = None
         # asynchronous f64 escape solves for deep wedges (escape_f64.py).
         # f64_after=1: the wedges are genuine local minima of even the
@@ -565,18 +567,24 @@ class StallReplanner:
         stubborn = stalled & ~accepted & (err > 0.03) \
             & (self.stall_rounds >= self.f64_after)
         if stubborn.any():
-            self._launch_f64(st, np.flatnonzero(stubborn), verbose)
+            self._launch_f64(st, np.flatnonzero(stubborn), verbose,
+                             menu=("far_via", "rr"))
         return st
 
     def _launch_f64(self, st: SimState, sel, verbose: bool = False,
-                    via_too: bool = True):
+                    menu: tuple = ("far",)):
         """Start one asynchronous f64 escape job (if a slot is free).
-        Guesses per problem: branch-swap anchor direct (the wedges are
-        wrong-arm-branch traps; the FARTHEST IK anchor is the other
-        branch) and, with ``via_too``, the via-home variant stacked on
-        top. Seed-time jobs use direct-only — HALF the CPU work, so the
-        harvest lands ~150 episode steps earlier; the stall-path retry
-        jobs stack both."""
+        `menu` picks the stacked guesses per problem:
+          "far"     branch-swap anchor direct (the wedges are wrong-arm
+                    -branch traps; the FARTHEST IK anchor is the other
+                    branch) — the seed-time recipe: cheapest, and it
+                    cracked 19/24 wedge-bound starts in the diag;
+          "far_via" the via-home variant of the same anchor;
+          "rr"      the round-robin global anchor (cycles across jobs —
+                    the 108.7 mm wedge fell to an anchor that is NOT
+                    the farthest one, diag_wedge_f64).
+        Stall-path retries use ("far_via", "rr"): the survivors already
+        failed the seed's far-direct guess."""
         if not self.use_f64 or len(self._f64_jobs) >= self.f64_max_jobs \
                 or self.q_iks is None or sel.size == 0:
             return
@@ -592,17 +600,23 @@ class StallReplanner:
         nq = self.model.nq
         far = np.argmax(np.linalg.norm(
             x0s[:, None, :nq] - self.q_iks[None, :, :nq], axis=2), axis=1)
-        xg1, ug1 = self._ik_guess(jnp.asarray(x0s), anchor=far)
-        if via_too:
-            xg2, ug2 = self._ik_guess(jnp.asarray(x0s), anchor=far,
-                                      via=True)
-            xg = np.concatenate([np.asarray(xg1), np.asarray(xg2)])
-            ug = np.concatenate([np.asarray(ug1), np.asarray(ug2)])
-            sel_j = np.concatenate([sel, sel])
-            x0_j = np.tile(x0s, (2, 1))
-        else:
-            xg, ug = np.asarray(xg1), np.asarray(ug1)
-            sel_j, x0_j = sel, x0s
+        parts = []
+        for kind in menu:
+            if kind == "far":
+                parts.append(self._ik_guess(jnp.asarray(x0s), anchor=far))
+            elif kind == "far_via":
+                parts.append(self._ik_guess(jnp.asarray(x0s), anchor=far,
+                                            via=True))
+            elif kind == "rr":
+                parts.append(self._ik_guess(
+                    jnp.asarray(x0s),
+                    anchor=(self.round + self.n_f64) % len(self.q_iks)))
+            else:
+                raise ValueError(f"unknown f64 guess kind {kind!r}")
+        xg = np.concatenate([np.asarray(g[0]) for g in parts])
+        ug = np.concatenate([np.asarray(g[1]) for g in parts])
+        sel_j = np.tile(sel, len(parts))
+        x0_j = np.tile(x0s, (len(parts), 1))
         from .escape_f64 import EscapeF64Job
         self._f64_jobs.append(EscapeF64Job(
             sel_j, x0_j, xg, ug,
@@ -610,8 +624,8 @@ class StallReplanner:
         self.n_f64 += 1
         if verbose:
             print(f"  f64 escape launched for {n_real} problems "
-                  f"{sel[:n_real].tolist()} "
-                  f"({2 if via_too else 1} guess(es) each)", flush=True)
+                  f"{sel[:n_real].tolist()} (menu {list(menu)})",
+                  flush=True)
 
     def seed_plans(self, st: SimState, verbose: bool = False) -> SimState:
         """t=0 seeding: solve a long-horizon to-target plan for EVERY
@@ -652,7 +666,7 @@ class StallReplanner:
                 st = self._hold(st, bad_idx)
                 for a in range(0, bad_idx.size, self.f64_chunk):
                     self._launch_f64(st, bad_idx[a:a + self.f64_chunk],
-                                     verbose, via_too=False)
+                                     verbose, menu=("far",))
                 if verbose:
                     print(f"  parked {bad_idx.size} wedge-bound problems "
                           f"for seed-time f64", flush=True)
