@@ -8,6 +8,8 @@ tolerances; the TPU bench path uses float32.
 
 import os
 
+import pytest
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
@@ -35,3 +37,20 @@ _cache = _hcd(os.path.join(
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables at module boundaries. A cold-cache
+    full-suite run accumulates ~150 live XLA CPU executables and the
+    next backend_compile segfaults around the 120th compile (observed
+    round 3, jax compiler.py:362); dropping them between files keeps
+    the compiler arena bounded. The persistent disk cache makes the
+    re-jits cheap."""
+    yield
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
