@@ -59,7 +59,8 @@ def main(argv=None):
     # role of the reference's IPOPT controller family (mpc_ipopt.py)
     controller = get_controller(cont_name, model, N=horizon,
                                 rti_iters=args.get("rti_iters"), traj=traj,
-                                lm_drop_tol=args.get("lm_drop", 0.0))
+                                lm_drop_tol=args.get("lm_drop", 0.0),
+                                zv_near_tol=args.get("zv_near", 0.0))
     backup = SafeBackupController(model, N=cfg.back_hor)
 
     if track != "none":
@@ -94,8 +95,12 @@ def main(argv=None):
         print(f"loading guess {gpath}")
         xg, ug = load_guess(gpath)
         test_num = args.get("batch") or min(cfg.test_num, xg.shape[0])
-        xg, ug = xg[:test_num], ug[:test_num]
-        x0s = jnp.asarray(xg[:, 0, :])
+        # cast to the runtime dtype (guess pickles may be f32 from a TPU
+        # run while the CPU loop is f64, and vice versa)
+        jdt = jnp.float64 if dtype == "float64" else jnp.float32
+        xg = np.asarray(xg[:test_num], jdt)
+        ug = np.asarray(ug[:test_num], jdt)
+        x0s = jnp.asarray(xg[:, 0, :], jdt)
     n_steps = args.get("n_steps") or cfg.n_steps
 
     # model-noise ensemble: batched perturbed inertial parameters
@@ -137,7 +142,8 @@ def main(argv=None):
     t0 = time.time()
     res = sim.run(x0s, xg=jnp.asarray(xg), ug=jnp.asarray(ug),
                   n_steps=n_steps, plant_params=plant_params, verbose=True,
-                  replanner=replanner, segment=args.get("segment", 100))
+                  replanner=replanner, segment=args.get("segment", 100),
+                  end_segment=args.get("end_segment") or None)
     wall = time.time() - t0
     n_solves = test_num * n_steps
     print(f"\nSimulated {test_num} tests x {n_steps} steps in {wall:.1f}s "
@@ -164,6 +170,13 @@ def main(argv=None):
     print_quantiles(times)
 
     out = mpc_path(cfg, cont_name, horizon)
+    # clobber guard (VERDICT r2+r3): a partial run (batch < test_num)
+    # must never overwrite the canonical full-size artifact that
+    # abort.py / metrics.py consume — divert it to a scratch dir.
+    if test_num < cfg.test_num or n_steps < cfg.n_steps:
+        import os as _os
+        scratch = _os.path.join(cfg.data_dir, "scratch")
+        out = _os.path.join(scratch, _os.path.basename(out))
     save_mpc_result(out, res)
     print(f"saved {out}")
     sys.exit(len(res.collisions_idx))

@@ -367,10 +367,20 @@ def parse_args(argv: list[str] | None = None) -> dict[str, Any]:
                              "(0 = off; the flagship campaign uses 5e-3 "
                              "so the LM anchor stops fighting the final "
                              "millimetre)")
+    parser.add_argument("--zv_near", type=float, default=0.0,
+                        help="EE-error threshold below which the terminal "
+                             "velocity box closes to v_N=0 per problem "
+                             "(0 = off; arrive-and-stop — kills the "
+                             "near-target orbit of the EE-only cost, "
+                             "round-4 near-miss diagnostic)")
     parser.add_argument("--segment", type=int, default=100,
                         help="closed-loop scan segment length (smaller = "
                              "more replan/finisher hooks per episode, "
                              "more host round-trips)")
+    parser.add_argument("--end_segment", type=int, default=0,
+                        help="split the last full segment into chunks of "
+                             "this length (0 = off) so replanner/finisher "
+                             "hooks keep firing near the episode end")
     parser.add_argument("--out_dir", type=str, default=None,
                         help="override the artifact directory (use a "
                              "scratch dir for debug runs so canonical "

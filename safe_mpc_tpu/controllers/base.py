@@ -85,7 +85,9 @@ class MPCController:
                  safe_set=None, rti_iters: int | None = None,
                  qp_iters: int = 25, traj: np.ndarray | None = None,
                  guide_len: int = 1, lm_drop_tol: float = 0.0,
-                 lm_drop_factor: float = 0.02, **spec_kw):
+                 lm_drop_factor: float = 0.02,
+                 zv_near_tol: float = 0.0, zv_vmax: float = 0.5,
+                 **spec_kw):
         cfg = model.cfg
         self.model = model
         self.cfg = cfg
@@ -98,6 +100,16 @@ class MPCController:
         # config.yaml:21).
         self.lm_drop_tol = float(lm_drop_tol)
         self.lm_drop_factor = float(lm_drop_factor)
+        # near-target ARRIVE-AND-STOP lever (terminal v_N = 0 box per
+        # problem once err < zv_near_tol at low speed). MEASURED HARMFUL
+        # (round-4 near-miss diagnostic): problems park exactly at the
+        # activation boundary (~zv_near_tol) because the braking plans
+        # stop short and the box reopens outside the band. Kept only as
+        # an off-by-default experiment flag; the plain loop with
+        # f32-highest matmuls converges 7/8 from 1.5-8 mm starts in 300
+        # steps without it.
+        self.zv_near_tol = float(zv_near_tol)
+        self.zv_vmax = float(zv_vmax)
         # guidance-plan buffer length P: 1 = a single static via point;
         # >1 = a timed EE path tracked node-by-node (sim/replan.py sets
         # P = replan_N + 1 so each MPC node i tracks plan node ptr + i)
@@ -172,6 +184,20 @@ class MPCController:
             sched = dataclasses.replace(
                 sched, lm_scale=jnp.where(
                     near, self.lm_drop_factor, 1.0).astype(dtype))
+        if self.zv_near_tol > 0:
+            nq = self.model.nq
+            err = jnp.linalg.norm(
+                self.model.ee_pos(state.xg[0]) - sched.p_ee[0])
+            vmax = jnp.max(jnp.abs(state.xg[0, nq:]))
+            stop = jnp.logical_and(
+                jnp.logical_and(err < self.zv_near_tol, vmax < self.zv_vmax),
+                ~state.guide_on)
+            sched = dataclasses.replace(
+                sched,
+                lbx=sched.lbx.at[N, nq:].set(
+                    jnp.where(stop, 0.0, sched.lbx[N, nq:])),
+                ubx=sched.ubx.at[N, nq:].set(
+                    jnp.where(stop, 0.0, sched.ubx[N, nq:])))
         if self.terminal_zero_vel:
             nq = self.model.nq
             sched = dataclasses.replace(

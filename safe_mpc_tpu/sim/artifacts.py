@@ -62,6 +62,13 @@ def load_guess(path: str):
 
 
 def save_mpc_result(path: str, result) -> None:
+    """Reference mpc-pickle protocol (mpc.py:307-315) — same keys.
+
+    Counters are NOT part of the pickle (matching the reference);
+    they only appear in the run summary print. Known deviation there:
+    counter 2 (obstacle) is computed live here while the reference's
+    check block is commented out and always prints 0 (mpc.py:216-230)
+    — expect a nonzero column where the reference shows zero."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "wb") as f:
         pickle.dump({

@@ -276,7 +276,8 @@ class ClosedLoopSim:
     def run(self, x0s, xg=None, ug=None, n_steps: int | None = None,
             plant_params: InertialParams | None = None,
             keys=None, segment: int | None = 100,
-            verbose: bool = False, replanner=None) -> SimResult:
+            verbose: bool = False, replanner=None,
+            end_segment: int | None = None) -> SimResult:
         """Simulate the whole batch for n_steps and classify outcomes.
 
         The scan runs in host-chained segments of `segment` steps (one
@@ -287,6 +288,14 @@ class ClosedLoopSim:
         `replanner` (sim.replan.StallReplanner) is called between
         segments to detect stalled problems and splice long-horizon
         replan guesses into the controller state.
+
+        `end_segment` (< segment) splits the LAST full segment into
+        shorter chunks so replanner hooks keep firing near the episode
+        end — the round-3 flagship census found problems that were
+        converged at the last 100-step hook and drifted off target in
+        the uncovered tail (EE-null-space coasting), plus near-misses
+        that arrived within finisher reach only after the last hook.
+        Costs one extra compiled program (a shorter scan).
         """
         model, cfg = self.model, self.cfg
         n_steps = int(n_steps or cfg.n_steps)
@@ -312,25 +321,33 @@ class ClosedLoopSim:
         else:
             seg = int(segment)
             n_full, rem = divmod(n_steps, seg)
-            run_seg = jax.jit(lambda st: jax.lax.scan(
-                scan_step, st, None, length=seg))
+            segs = [seg] * n_full + ([rem] if rem else [])
+            if end_segment and 0 < int(end_segment) < seg and len(segs) > 1:
+                last = segs.pop()
+                es = int(end_segment)
+                n_sub, sub_rem = divmod(last, es)
+                segs += [es] * n_sub + ([sub_rem] if sub_rem else [])
+            run_cache: dict = {}
             st = st0
             parts = []
-            for k in range(n_full):
-                st, logs_k = run_seg(st)
+            done_steps = 0
+            for k, L in enumerate(segs):
+                if L not in run_cache:
+                    run_cache[L] = jax.jit(lambda st, _L=L: jax.lax.scan(
+                        scan_step, st, None, length=_L))
+                st, logs_k = run_cache[L](st)
+                done_steps += L
                 if self.log_trajectories:
                     parts.append(jax.tree.map(np.asarray, logs_k))
                 if verbose:
                     done = int(jnp.sum(st.mode == MODE_DONE))
-                    print(f"  sim step {(k + 1) * seg}/{n_steps} "
+                    print(f"  sim step {done_steps}/{n_steps} "
                           f"(done: {done}/{B})", flush=True)
-                if replanner is not None and k < n_full - 1:
+                if replanner is not None and k < len(segs) - 1:
                     st = replanner.maybe_replan(
-                        st, verbose=verbose, frac_done=(k + 1) / n_full)
-            if rem:
-                st, logs_k = jax.lax.scan(scan_step, st, None, length=rem)
-                if self.log_trajectories:
-                    parts.append(jax.tree.map(np.asarray, logs_k))
+                        st, verbose=verbose,
+                        frac_done=done_steps / n_steps,
+                        hooks_left=len(segs) - 1 - k)
             logs = jax.tree.map(
                 lambda *xs: np.concatenate(xs, axis=0), *parts) \
                 if self.log_trajectories else None

@@ -38,6 +38,55 @@ from ..tasks.ik import solve_ik_diverse
 from .closed_loop import MODE_MPC, SimState, _tree_where_b
 
 
+def pd_path_guess(model, x0s, q_pick, N, dt=None, via_q=None):
+    """DYNAMICS-CONSISTENT joint-path guess: a PD controller tracks a
+    cosine joint path from each x0 to its target configuration through
+    the true double integrator, so the guess has ZERO dynamics defects.
+    (A purely kinematic guess carries O(1) defects, and with
+    merit_rho = 1e4 the f32 L1 merit saturates its ~7 significant
+    digits — measured: the same seeds solve in f64 and fail in f32
+    until the defects are removed.)
+
+    `via_q` builds a retreat-then-reapproach path: first half retreats
+    to `via_q` (pulling the arm out of the obstacle cage), second half
+    reaches the target — the deep 5-11 cm wedges are states a direct
+    path cannot leave without first backing out.
+
+    Returns (xs, us) as float32/x0 dtype numpy arrays, shapes
+    (B, N+1, nx) / (B, N, nu)."""
+    nq = model.nq
+    dt = model.cfg.dt if dt is None else dt
+    x0s = np.asarray(x0s)
+    pick = np.asarray(q_pick)
+    if via_q is not None:
+        h = N // 2
+        t1 = 0.5 * (1 - np.cos(np.linspace(0.0, np.pi, h + 1)))
+        t2 = 0.5 * (1 - np.cos(np.linspace(0.0, np.pi, N - h + 1)))
+        via = np.asarray(via_q)[None, None]
+        seg1 = x0s[:, None, :nq] + t1[None, :, None] * (
+            via - x0s[:, None, :nq])
+        seg2 = via + t2[None, :, None] * (pick[:, None, :nq] - via)
+        q_ref = np.concatenate([seg1, seg2[:, 1:]], axis=1)
+    else:
+        t = 0.5 * (1 - np.cos(np.linspace(0.0, np.pi, N + 1)))
+        q_ref = x0s[:, None, :nq] \
+            + t[None, :, None] * (pick[:, None, :nq] - x0s[:, None, :nq])
+    v_ref = np.gradient(q_ref, dt, axis=1)
+    B = x0s.shape[0]
+    xs = np.zeros((B, N + 1, 2 * nq), np.float32)
+    us = np.zeros((B, N, nq), np.float32)
+    xs[:, 0] = x0s
+    for k in range(N):
+        q, v = xs[:, k, :nq], xs[:, k, nq:]
+        a_ff = (v_ref[:, k + 1] - v_ref[:, k]) / dt if k + 1 < N else 0.0
+        u = np.clip(a_ff + 400.0 * (q_ref[:, k] - q)
+                    + 40.0 * (v_ref[:, k] - v), -40.0, 40.0)
+        us[:, k] = u
+        xs[:, k + 1, :nq] = q + dt * v + 0.5 * dt * dt * u
+        xs[:, k + 1, nq:] = v + dt * u
+    return xs, us
+
+
 class StallReplanner:
     """Host-side stall detector + batched long-horizon replanner.
 
@@ -66,12 +115,21 @@ class StallReplanner:
         self.sqp_iters = int(sqp_iters)
         self.qp_iters = int(qp_iters)
         self.accept_margin = float(accept_margin)
+        # f64 escape jobs solve at a LONGER horizon than the on-TPU
+        # replans: the round-4 wedge ground truth (scripts_dev/
+        # wedge_ground_truth.py, data_noise/wedge_ground_truth.json)
+        # shows ALL 14 round-3 wedge states have feasible N=320 f64
+        # escapes landing 0.14-3.6 mm out, including one (p57, 174 mm)
+        # that N=320 solves from a plain hold guess where N=240 failed.
+        self.f64_N = 320
         # timed-plan guidance: the controller's guidance buffer holds the
-        # FULL plan EE path; each MPC node tracks its own plan node and
-        # the pointer advances one node per tick (controllers/base.py
-        # _traj_window / _advance_guide). MUST be set before the sim's
-        # initial_state sizes the ControllerState buffers.
-        target_ctrl.guide_len = replan_ctrl.N + 1
+        # FULL plan EE path (padded with its end point for shorter
+        # plans); each MPC node tracks its own plan node and the pointer
+        # advances one node per tick (controllers/base.py _traj_window /
+        # _advance_guide). MUST be set before the sim's initial_state
+        # sizes the ControllerState buffers.
+        self.plan_len = max(replan_ctrl.N, self.f64_N) + 1
+        target_ctrl.guide_len = self.plan_len
         self.prev_err: np.ndarray | None = None
         self.n_replans = 0
         self.n_accepted = 0
@@ -138,15 +196,26 @@ class StallReplanner:
         self.use_f64 = True
         self.f64_after = 1
         self.f64_sqp_iters = 60
+        # deterministic harvest (VERDICT r3 weak #4): each job BLOCKS at
+        # its due hook (launch + f64_due_rounds) instead of being polled
+        # opportunistically, so the same command yields the same conv
+        # count — subprocess wall-clock timing no longer decides which
+        # wedges get their splice. A job that exceeds f64_wait_s at its
+        # due hook is killed and harvested as failed (a hung worker must
+        # not park its problems for the episode, ADVICE r3 medium).
+        self.deterministic = True
+        self.f64_due_rounds = 3
+        self.f64_wait_s = 1800.0
         # several SMALL concurrent jobs beat one big one: an XLA CPU
         # batched SQP runs essentially single-core (the per-step tensors
         # are too small to multithread), so job latency scales with B
         # while extra jobs ride idle cores (measured: B=16 ~600 s vs
         # B=32 ~1100 s; 3 concurrent jobs ~ the price of one)
-        self.f64_chunk = 8                # problems per job (cap)
+        self.f64_chunk = 6                # problems per job (cap)
         self.f64_max_jobs = 4             # concurrent subprocesses
         self.stall_rounds: np.ndarray | None = None
         self._f64_jobs: list = []
+        self._hooks_left = 99
         self.n_f64 = 0
         self.n_f64_accepted = 0
         # "park until the planner returns": problems whose seed plan ends
@@ -157,31 +226,28 @@ class StallReplanner:
         # after `hold_max_rounds` hooks without one (a starved/crashed
         # worker must not park problems for the rest of the episode —
         # flagship attempt 3 lost 64 problems that way).
+        # backstop only: deterministic harvest releases holds at the due
+        # hook (or kills the worker at f64_wait_s), so the timeout just
+        # guards the non-deterministic mode. 4 rounds IS reachable
+        # within the flagship's 7-hook budget (ADVICE r3 medium: the old
+        # value 8 was not).
         self.hold_for_f64: np.ndarray | None = None
         self.hold_rounds: np.ndarray | None = None
-        self.hold_max_rounds = 8
+        self.hold_max_rounds = 4
 
     # ------------------------------------------------------------- guesses
 
     def _ik_guess(self, x0s, anchor: int | None = None,
-                  via: bool = False):
-        """DYNAMICS-CONSISTENT branch-swap guess: a PD controller tracks
-        the cosine joint path to an IK anchor through the true double
-        integrator, so the guess has ZERO dynamics defects. (A purely
-        kinematic guess carries O(1) defects, and with merit_rho = 1e4
-        the f32 L1 merit saturates its ~7 significant digits — measured:
-        the same seeds solve in f64 and fail in f32 until the defects
-        are removed.)
-
-        ``via=True`` builds a retreat-then-reapproach path: first half
-        retreats to the mid-range "home" posture (pulling the arm out of
-        the obstacle cage), second half reaches the anchor — the deep
-        5-11 cm wedges are states a direct path cannot leave without
-        first backing out (flagship round 6 failure census)."""
+                  via: bool = False, N: int | None = None):
+        """Branch-swap guess to an IK anchor (see :func:`pd_path_guess`):
+        ``anchor=None`` picks the nearest anchor per problem, an int picks
+        the round-robin branch, and ``via=True`` retreats through the
+        mid-range home posture first (deep-wedge escape, flagship round-6
+        failure census). `N` defaults to the on-TPU replan horizon;
+        f64 jobs pass f64_N."""
         model = self.model
         nq = model.nq
-        Nr = self.replan.N
-        dt = model.cfg.dt
+        N = self.replan.N if N is None else int(N)
         x0s = np.asarray(x0s)
         if anchor is None:
             d = np.linalg.norm(x0s[:, None, :nq] - self.q_iks[None, :, :nq],
@@ -194,34 +260,9 @@ class StallReplanner:
                                (x0s.shape[0], 1))
             else:                                        # per-problem anchor
                 pick = self.q_iks[idx]
-        if via:
-            q_home = 0.5 * (np.asarray(model.robot.q_min)
-                            + np.asarray(model.robot.q_max))
-            h = Nr // 2
-            t1 = 0.5 * (1 - np.cos(np.linspace(0.0, np.pi, h + 1)))
-            t2 = 0.5 * (1 - np.cos(np.linspace(0.0, np.pi, Nr - h + 1)))
-            seg1 = x0s[:, None, :nq] + t1[None, :, None] * (
-                q_home[None, None] - x0s[:, None, :nq])
-            seg2 = q_home[None, None] + t2[None, :, None] * (
-                pick[:, None, :nq] - q_home[None, None])
-            q_ref = np.concatenate([seg1, seg2[:, 1:]], axis=1)
-        else:
-            t = 0.5 * (1 - np.cos(np.linspace(0.0, np.pi, Nr + 1)))
-            q_ref = x0s[:, None, :nq] \
-                + t[None, :, None] * (pick[:, None, :nq] - x0s[:, None, :nq])
-        v_ref = np.gradient(q_ref, dt, axis=1)
-        B = x0s.shape[0]
-        xs = np.zeros((B, Nr + 1, 2 * nq), np.float32)
-        us = np.zeros((B, Nr, nq), np.float32)
-        xs[:, 0] = x0s
-        for k in range(Nr):
-            q, v = xs[:, k, :nq], xs[:, k, nq:]
-            a_ff = (v_ref[:, k + 1] - v_ref[:, k]) / dt if k + 1 < Nr else 0.0
-            u = np.clip(a_ff + 400.0 * (q_ref[:, k] - q)
-                        + 40.0 * (v_ref[:, k] - v), -40.0, 40.0)
-            us[:, k] = u
-            xs[:, k + 1, :nq] = q + dt * v + 0.5 * dt * dt * u
-            xs[:, k + 1, nq:] = v + dt * u
+        via_q = 0.5 * (np.asarray(model.robot.q_min)
+                       + np.asarray(model.robot.q_max)) if via else None
+        xs, us = pd_path_guess(model, x0s, pick, N, via_q=via_q)
         dtype = jnp.asarray(x0s).dtype
         return jnp.asarray(xs, dtype), jnp.asarray(us, dtype)
 
@@ -322,17 +363,27 @@ class StallReplanner:
             guide_on = np.asarray(st.ctrl.guide_on).copy()
             guide_on[accepted] = False
             self.plan_active[accepted] = False
+            # same set_guess bookkeeping as _splice_plans (ADVICE r3):
+            # reset the receding counter + fails streak and refresh
+            # x_viable for the accepted rows — the old values refer to
+            # the discarded guess (base.py:139-141, controller.py:390-393)
+            acc_j = jnp.asarray(accepted)
             st = dataclasses.replace(st, ctrl=dataclasses.replace(
                 st.ctrl, xg=jnp.asarray(xg_new), ug=jnp.asarray(ug_new),
-                guide_on=jnp.asarray(guide_on)))
+                guide_on=jnp.asarray(guide_on),
+                x_viable=jnp.where(acc_j[:, None], jnp.asarray(
+                    xg_new[:, -1]), st.ctrl.x_viable),
+                r=jnp.where(acc_j, jnp.asarray(self.ctrl.N,
+                                               st.ctrl.r.dtype), st.ctrl.r),
+                fails=jnp.where(acc_j, jnp.zeros_like(st.ctrl.fails),
+                                st.ctrl.fails)))
         return st, accepted
 
     # ------------------------------------------------------- plan tracking
 
     def _ensure_plan_store(self, B):
         if self.plan_ee is None:
-            T = self.replan.N + 1
-            self.plan_ee = np.zeros((B, T, 3))
+            self.plan_ee = np.zeros((B, self.plan_len, 3))
             self.plan_active = np.zeros(B, bool)
             self.plan_ptr = np.zeros(B, int)
         if self.finish_tries is None:
@@ -356,7 +407,7 @@ class StallReplanner:
         ptr = np.asarray(st.ctrl.plan_ptr).copy()
         guide_on = np.asarray(st.ctrl.guide_on).copy()
         freshly_stalled = np.zeros(B, bool)
-        T = self.replan.N
+        T = self.plan_len - 1
         for i in np.flatnonzero(self.plan_active):
             d = np.linalg.norm(self.plan_ee[i] - ee[i][None], axis=1)
             # windowed nearest node (the EE path may pass near itself):
@@ -385,15 +436,36 @@ class StallReplanner:
             guide_on=jnp.asarray(guide_on))
         return dataclasses.replace(st, ctrl=ctrl_new), freshly_stalled
 
-    def _harvest_f64(self, st: SimState, err, verbose: bool = False):
-        """Collect finished asynchronous f64 escape jobs (if any) and
-        splice their plans for problems that are still roughly where the
-        job left them (a wedged state is nearly stationary; the
-        staleness check guards the exception)."""
+    def _harvest_f64(self, st: SimState, err, verbose: bool = False,
+                     final: bool = False):
+        """Collect asynchronous f64 escape jobs and splice their plans
+        for problems that are still roughly where the job left them (a
+        wedged state is nearly stationary; the staleness check guards
+        the exception).
+
+        Deterministic mode: a job is harvested exactly at its due hook
+        (BLOCKING on the worker if needed, killing it past f64_wait_s);
+        earlier hooks leave it running untouched. `final=True` (the
+        episode's last hook) blocks on everything in flight."""
         for job in list(self._f64_jobs):
-            out = job.poll()
-            if out is None:
-                continue
+            if self.deterministic:
+                # a job without a schedule (legacy/test stub) is due now
+                due_round = getattr(job, "due_round", -1)
+                if not (final or due_round < 0 or self.round >= due_round):
+                    continue
+                if hasattr(job, "wait"):
+                    if verbose and job.proc.poll() is None:
+                        print(f"  f64 harvest: blocking on job for problems "
+                              f"{np.unique(job.sel).tolist()}", flush=True)
+                    out = job.wait(timeout=self.f64_wait_s)
+                else:
+                    out = job.poll()
+                if out is None:
+                    continue
+            else:
+                out = job.poll()
+                if out is None:
+                    continue
             self._f64_jobs.remove(job)
             st = self._harvest_one_f64(st, err, out, verbose)
         return st
@@ -443,7 +515,8 @@ class StallReplanner:
     # ------------------------------------------------------------- hook
 
     def maybe_replan(self, st: SimState, verbose: bool = False,
-                     frac_done: float = 0.0) -> SimState:
+                     frac_done: float = 0.0,
+                     hooks_left: int = 99) -> SimState:
         """Between-segment hook: advance guidance on active plans, detect
         stalls, replan, splice guesses + set guidance.
 
@@ -452,13 +525,19 @@ class StallReplanner:
         a finisher attempt regardless of the slow-progress gate — the
         round-3 near-miss census showed those problems converge given
         machinery time (15/16 in +200 steps), so late arrivals must not
-        wait for a stall verdict."""
+        wait for a stall verdict.
+
+        `hooks_left` (this hook included) gates the f64 machinery: the
+        LAST hook block-harvests everything in flight, and no job is
+        launched without a future hook to harvest it."""
         model = self.model
         B = st.x.shape[0]
         self._ensure_plan_store(B)
+        self.round += 1
         ee = np.asarray(jax.vmap(model.ee_pos)(st.x))
         err = np.linalg.norm(ee - np.asarray(model.ee_ref)[None], axis=1)
-        st = self._harvest_f64(st, err, verbose)
+        st = self._harvest_f64(st, err, verbose, final=hooks_left <= 1)
+        self._hooks_left = int(hooks_left)
         # hold timeout: a parked problem whose job never harvests (worker
         # starved/crashed) resumes the normal machinery
         if self.hold_for_f64.any():
@@ -476,7 +555,6 @@ class StallReplanner:
                           f"{int(expired.sum())} parked problems",
                           flush=True)
         st, abandoned = self._update_guidance(st, ee, err)
-        self.round += 1
 
         # ---- terminal brake splice: a replan/guidance detour can leave
         # the arm COASTING in the EE null space at the target (EE err
@@ -568,25 +646,29 @@ class StallReplanner:
             & (self.stall_rounds >= self.f64_after)
         if stubborn.any():
             self._launch_f64(st, np.flatnonzero(stubborn), verbose,
-                             menu=("far_via", "rr"))
+                             menu=("all", "far_via"))
         return st
 
     def _launch_f64(self, st: SimState, sel, verbose: bool = False,
-                    menu: tuple = ("far",)):
-        """Start one asynchronous f64 escape job (if a slot is free).
-        `menu` picks the stacked guesses per problem:
-          "far"     branch-swap anchor direct (the wedges are wrong-arm
-                    -branch traps; the FARTHEST IK anchor is the other
-                    branch) — the seed-time recipe: cheapest, and it
-                    cracked 19/24 wedge-bound starts in the diag;
-          "far_via" the via-home variant of the same anchor;
-          "rr"      the round-robin global anchor (cycles across jobs —
-                    the 108.7 mm wedge fell to an anchor that is NOT
-                    the farthest one, diag_wedge_f64).
-        Stall-path retries use ("far_via", "rr"): the survivors already
-        failed the seed's far-direct guess."""
+                    menu: tuple = ("all",)):
+        """Start one asynchronous f64 escape job (if a slot is free) at
+        horizon `f64_N`. `menu` picks the stacked guesses per problem:
+          "all"     one DIRECT branch-swap guess per distinct IK anchor —
+                    the round-4 wedge ground truth found every wedge
+                    falls to at least one direct anchor guess at N=320,
+                    and which anchor wins varies per wedge;
+          "hold"    constant-state cold start (solves long-range starts
+                    outright at N=320, e.g. round-3 p57 at 174 mm);
+          "far"     the farthest-anchor direct guess only (cheapest);
+          "far_via" the retreat-via-home variant of the same anchor;
+          "rr"      the round-robin global anchor (cycles across jobs).
+        The harvest keeps the best per problem (feasible first, then
+        terminal error)."""
         if not self.use_f64 or len(self._f64_jobs) >= self.f64_max_jobs \
-                or self.q_iks is None or sel.size == 0:
+                or self.q_iks is None or sel.size == 0 \
+                or self._hooks_left < 2:
+            # < 2: no future hook exists to harvest the job (the current
+            # hook's harvest already ran) — launching would waste a core
             return
         sel = np.asarray(sel)[:self.f64_chunk]
         n_real = sel.size
@@ -598,19 +680,28 @@ class StallReplanner:
                 [sel, np.repeat(sel[:1], self.f64_chunk - sel.size)])
         x0s = np.asarray(st.x)[sel]
         nq = self.model.nq
+        Nf = self.f64_N
         far = np.argmax(np.linalg.norm(
             x0s[:, None, :nq] - self.q_iks[None, :, :nq], axis=2), axis=1)
         parts = []
         for kind in menu:
-            if kind == "far":
-                parts.append(self._ik_guess(jnp.asarray(x0s), anchor=far))
+            if kind == "all":
+                for k in range(len(self.q_iks)):
+                    parts.append(self._ik_guess(jnp.asarray(x0s), anchor=k,
+                                                N=Nf))
+            elif kind == "hold":
+                parts.append(self._hold_guess(jnp.asarray(x0s), N=Nf))
+            elif kind == "far":
+                parts.append(self._ik_guess(jnp.asarray(x0s), anchor=far,
+                                            N=Nf))
             elif kind == "far_via":
                 parts.append(self._ik_guess(jnp.asarray(x0s), anchor=far,
-                                            via=True))
+                                            via=True, N=Nf))
             elif kind == "rr":
                 parts.append(self._ik_guess(
                     jnp.asarray(x0s),
-                    anchor=(self.round + self.n_f64) % len(self.q_iks)))
+                    anchor=(self.round + self.n_f64) % len(self.q_iks),
+                    N=Nf))
             else:
                 raise ValueError(f"unknown f64 guess kind {kind!r}")
         xg = np.concatenate([np.asarray(g[0]) for g in parts])
@@ -620,11 +711,13 @@ class StallReplanner:
         from .escape_f64 import EscapeF64Job
         self._f64_jobs.append(EscapeF64Job(
             sel_j, x0_j, xg, ug,
-            N=self.replan.N, sqp_iters=self.f64_sqp_iters))
+            N=Nf, sqp_iters=self.f64_sqp_iters,
+            due_round=self.round + self.f64_due_rounds))
         self.n_f64 += 1
         if verbose:
             print(f"  f64 escape launched for {n_real} problems "
-                  f"{sel[:n_real].tolist()} (menu {list(menu)})",
+                  f"{sel[:n_real].tolist()} (menu {list(menu)}, "
+                  f"N={Nf}, {len(parts)} guesses/problem)",
                   flush=True)
 
     def seed_plans(self, st: SimState, verbose: bool = False) -> SimState:
@@ -666,7 +759,7 @@ class StallReplanner:
                 st = self._hold(st, bad_idx)
                 for a in range(0, bad_idx.size, self.f64_chunk):
                     self._launch_f64(st, bad_idx[a:a + self.f64_chunk],
-                                     verbose, menu=("far",))
+                                     verbose, menu=("all", "hold"))
                 if verbose:
                     print(f"  parked {bad_idx.size} wedge-bound problems "
                           f"for seed-time f64", flush=True)
@@ -753,10 +846,17 @@ class StallReplanner:
         xg_new[s_sel] = np.asarray(xs[:, :N + 1])[ok_s]
         ug_new[s_sel] = np.asarray(us[:, :N])[ok_s]
         # plans' EE paths + timed guidance (both tiers): the FULL
-        # plan path loads into the guidance buffer, pointer at 0
+        # plan path loads into the guidance buffer, pointer at 0;
+        # plans shorter than the buffer (on-TPU replans vs f64_N) pad
+        # with their end point — guidance holds the plan's terminal
+        # target once consumed
         plan_x = xs[ok_any]
         plan_ee = np.asarray(jax.vmap(jax.vmap(model.ee_pos))(
             jnp.asarray(plan_x)))
+        if plan_ee.shape[1] < self.plan_len:
+            pad = self.plan_len - plan_ee.shape[1]
+            plan_ee = np.concatenate(
+                [plan_ee, np.repeat(plan_ee[:, -1:], pad, axis=1)], axis=1)
         self.plan_ee[any_sel] = plan_ee
         self.plan_active[any_sel] = True
         self.plan_ptr[any_sel] = 0
@@ -768,7 +868,11 @@ class StallReplanner:
         ptr[any_sel] = 0
         ctrl_new = dataclasses.replace(
             st.ctrl, xg=jnp.asarray(xg_new), ug=jnp.asarray(ug_new),
-            x_viable=jnp.asarray(xg_new[:, -1]),
+            # x_viable refresh only for rows whose GUESS changed (tier 1);
+            # other rows keep their captured viable state
+            x_viable=jnp.where(jnp.asarray(accept_s)[:, None],
+                               jnp.asarray(xg_new[:, -1]),
+                               st.ctrl.x_viable),
             p_guide=jnp.asarray(p_guide, st.ctrl.xg.dtype),
             plan_ptr=jnp.asarray(ptr, jnp.int32),
             guide_on=jnp.asarray(guide_on),
