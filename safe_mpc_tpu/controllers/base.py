@@ -330,6 +330,23 @@ class MPCController:
         res = self.solve_batched(states, xs, scheds)
         return jax.vmap(self._post_step)(states, scheds, res)
 
+    def step_batched_warm(self, states: ControllerState, xs, warm):
+        """`step_batched` with the cross-tick interior-point warm start
+        (ops.qp.IPWarm): the previous tick's IP state re-enters the QP on
+        a short barrier schedule — the closed-loop configuration the
+        headline bench measures (HPIPM warm-starts the same way inside
+        acados' RTI loop). Only valid for the single-RTI-iteration path
+        (rti_iters <= 1). Returns (StepResult, warm_out); the caller
+        shifts warm_out alongside the guess (ops.qp.shift_warm)."""
+        from ..ops.sqp import rti_step_batched as _rti
+        states = jax.vmap(self.guess_correction)(states)
+        scheds = jax.vmap(self.schedule)(states)
+        states = jax.vmap(self._advance_guide)(states)
+        res, warm_out = _rti(self.spec, states.xg, states.ug, xs, scheds,
+                             qp_iters=self.qp_iters, warm=warm,
+                             with_warm=True)
+        return jax.vmap(self._post_step)(states, scheds, res), warm_out
+
 
 class TerminalZeroVelocity(MPCController):
     """Naive + terminal zero-velocity box (controller.py:295-317)."""

@@ -45,6 +45,15 @@ def _tree_where_b(pred, a, b):
     return jax.tree.map(sel, a, b)
 
 
+def _tree_where_lastb(pred, a, b):
+    """Leaf-wise where with a (B,) predicate on the LAST axis (the
+    batch-last IPWarm layout, leaves (N+1, m, B))."""
+    def sel(x, y):
+        p = pred.reshape((1,) * (x.ndim - 1) + pred.shape)
+        return jnp.where(p, x, y)
+    return jax.tree.map(sel, a, b)
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class SimState:
@@ -61,6 +70,10 @@ class SimState:
     steps_done: jax.Array    # (B,) int32
     key: jax.Array           # (B,) PRNG keys
     tau_bias: jax.Array      # (B, nu) constant control-noise bias
+    warm: object = None      # IPWarm (batch-last leaves) or None; the
+    #                          cross-tick IP warm start for the
+    #                          rti_iters=1 path (ADVICE r3: the sim now
+    #                          runs the configuration the bench measures)
 
 
 @dataclass
@@ -82,7 +95,8 @@ class ClosedLoopSim:
                  backup: SafeBackupController | None = None,
                  kp: float = 1.0, kd: float = 1e2,
                  control_noise_mode: str = "bias",
-                 log_trajectories: bool = True):
+                 log_trajectories: bool = True,
+                 warm_start: bool | None = None):
         self.controller = controller
         self.model = controller.model
         self.cfg = controller.cfg
@@ -90,6 +104,16 @@ class ClosedLoopSim:
         self.kp, self.kd = kp, kd
         self.control_noise_mode = control_noise_mode
         self.log_trajectories = log_trajectories
+        # cross-tick IP warm start (the headline-bench configuration;
+        # per-solve gap pinned in test_qp_batched). OPT-IN: the ~5e-3
+        # per-solve control gap shifts abort/infeasibility timing on
+        # problems walking the constraint boundary, so the default stays
+        # the cold schedule the canonical artifacts were produced with.
+        # Only valid on the single-RTI-iteration path (the multi
+        # -iteration SQP manages its own QP schedule).
+        if warm_start is None:
+            warm_start = False
+        self.warm_start = bool(warm_start) and controller.rti_iters <= 1
 
     # ------------------------------------------------------------- init
 
@@ -179,7 +203,16 @@ class ClosedLoopSim:
         # controller step runs for problems in MPC mode or resuming;
         # step_batched = one lane-packed linearization + QP for the batch
         run_ctrl = jnp.logical_or(in_mpc, jnp.logical_and(in_abort, can_resume))
-        res = ctrl.step_batched(st.ctrl, st.x)
+        if self.warm_start:
+            from ..ops.qp import shift_warm
+            res, warm_out = ctrl.step_batched_warm(st.ctrl, st.x, st.warm)
+            # shift the IP state alongside the guess roll (provideControl);
+            # problems that did not run keep their stale warm state
+            warm_next = _tree_where_lastb(run_ctrl, shift_warm(warm_out),
+                                          st.warm)
+        else:
+            res = ctrl.step_batched(st.ctrl, st.x)
+            warm_next = st.warm
         ctrl_next = _tree_where_b(run_ctrl, res.state, st.ctrl)
 
         sa_now = jnp.logical_and(run_ctrl, res.abort)
@@ -266,7 +299,7 @@ class ClosedLoopSim:
             viable=jnp.logical_or(st.viable, backup_ok),
             x_viable=x_viable, counters=counters,
             steps_done=st.steps_done + advancing.astype(jnp.int32),
-            key=key_next)
+            key=key_next, warm=warm_next)
         ridx = jax.vmap(lambda c: c.r)(ctrl_next)
         log = (st.x, jnp.where(alive[:, None], u, jnp.nan), ridx)
         return st2, log
@@ -311,6 +344,13 @@ class ClosedLoopSim:
         st0 = self.initial_state(x0s, xg, ug, keys)
         if replanner is not None:
             st0 = replanner.seed_plans(st0, verbose=verbose)
+        if self.warm_start:
+            # materialize the initial IP state with one cold solve so the
+            # scan carry has a fixed pytree type; it aligns with the
+            # UNSHIFTED initial guess, which the first tick re-solves warm
+            _, warm0 = self.controller.step_batched_warm(
+                st0.ctrl, st0.x, None)
+            st0 = dataclasses.replace(st0, warm=warm0)
 
         def scan_step(st, _):
             st2, log = self.step(st, plant_params)

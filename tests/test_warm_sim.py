@@ -1,0 +1,63 @@
+"""Cross-tick IP warm start threaded through the closed loop (ADVICE r3):
+the deployed rti_iters=1 sim now runs the warm-started QP schedule the
+headline bench measures. Pinned here: warm and cold closed loops produce
+the same trajectories within the warm-re-entry accuracy budget
+(test_qp_batched pins the per-solve gap; this pins the compounded loop)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from safe_mpc_tpu.config import load_config
+from safe_mpc_tpu.controllers.registry import get_controller
+from safe_mpc_tpu.models.manipulator import ManipulatorModel
+from safe_mpc_tpu.sim.closed_loop import ClosedLoopSim
+from safe_mpc_tpu.tasks.sampling import sample_initial_states
+
+
+def test_warm_closed_loop_matches_cold():
+    """The warm schedule's per-solve gap (~5e-3 on u, pinned per solve in
+    test_qp_batched) compounds slowly through the plant: the loop-level
+    pin asserts early-trajectory closeness on validated feasible starts.
+    Outcome equality is NOT asserted — a problem walking the collision
+    boundary flips chaotically under any per-solve perturbation."""
+    import pickle
+
+    B, N, T = 4, 10, 50
+    cfg = load_config().with_(N=N, use_net=False)
+    model = ManipulatorModel(cfg)
+    ctrl = get_controller("naive", model, N=N)          # rti_iters = 1
+    assert ctrl.rti_iters <= 1
+    # validated collision-free rest starts from the canonical guess pickle
+    gpath = cfg.data_dir + ("" if cfg.data_dir.endswith("/") else "/") + \
+        "z1_receding_25hor_10sm_use_netTrue__q_collision_margins" \
+        "_0.0_0.0_guess.pkl"
+    with open(gpath, "rb") as f:
+        x0s = jnp.asarray(pickle.load(f)["xg"][:B, 0], jnp.float64)
+
+    sim_w = ClosedLoopSim(ctrl, backup=None, warm_start=True)
+    assert sim_w.warm_start
+    sim_c = ClosedLoopSim(ctrl, backup=None)            # cold by default
+    assert not sim_c.warm_start
+
+    res_w = sim_w.run(x0s, n_steps=T, segment=None)
+    res_c = sim_c.run(x0s, n_steps=T, segment=None)
+
+    # early trajectories agree within the compounded warm-re-entry budget
+    dev = np.nanmax(np.abs(res_w.xs[:, :30] - res_c.xs[:, :30]))
+    assert dev < 5e-2, f"warm/cold trajectory deviation {dev}"
+    # controls are accelerations with |u| up to ~40 rad/s^2; the warm
+    # schedule's per-solve gap measures ~0.08 absolute here
+    dev_u = np.nanmax(np.abs(res_w.us[:, :10] - res_c.us[:, :10]))
+    assert dev_u < 0.3, f"warm/cold early-control deviation {dev_u}"
+
+
+def test_warm_disabled_for_multi_iter_sqp():
+    cfg = load_config().with_(N=8, use_net=False)
+    model = ManipulatorModel(cfg)
+    ctrl = get_controller("naive", model, N=8, rti_iters=3)
+    sim = ClosedLoopSim(ctrl, backup=None)
+    assert not sim.warm_start
+    # forcing it on is refused (the SQP path manages its own schedule)
+    sim2 = ClosedLoopSim(ctrl, backup=None, warm_start=True)
+    assert not sim2.warm_start
