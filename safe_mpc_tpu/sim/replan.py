@@ -87,8 +87,42 @@ def pd_path_guess(model, x0s, q_pick, N, dt=None, via_q=None):
     return xs, us
 
 
+# per-problem machinery modes (host-side; the sim's MODE_MPC/ABORT/DONE
+# is a separate, device-side machine)
+PMODE_TRACK = 0     # greedy toward the task reference, no active plan
+PMODE_PLAN = 1      # tracking an accepted long-horizon plan (guidance on)
+PMODE_HELD = 2      # parked at pose awaiting an f64 escape job
+PMODE_FINI = 3      # a certified finisher guess was spliced (terminal
+#                     for the stall/brake/park machinery)
+
+
 class StallReplanner:
     """Host-side stall detector + batched long-horizon replanner.
+
+    Every problem carries ONE machinery mode (`self.pmode`,
+    PMODE_TRACK/PLAN/HELD/FINI). The transition table — each row is the
+    only place that transition happens:
+
+    | from  | to    | trigger (hook phase)                               |
+    |-------|-------|----------------------------------------------------|
+    | TRACK | PLAN  | stall replan accepted (splice/guidance), or an     |
+    |       |       | f64 harvest splice for a non-held problem          |
+    | TRACK | HELD  | seed plan ends in a wedge / no accepted seed →     |
+    |       |       | park + f64 job (seed_plans only)                   |
+    | TRACK | FINI  | finisher solve certified (< 0.5·tol) and spliced   |
+    | PLAN  | TRACK | plan consumed / target near (handover), or the     |
+    |       |       | loop fell off the plan (feeds stall detection)     |
+    | HELD  | TRACK | f64 harvest returned without an acceptable plan,   |
+    |       |       | or hold timeout (worker killed at f64_wait_s)      |
+    | HELD  | PLAN  | f64 harvest spliced an accepted plan               |
+    | FINI  | FINI  | terminal for brake/park/stall; the finisher may    |
+    |       |       | RE-certify while unconverged (finish_tries-capped) |
+
+    Invariants (tests/test_replan_modes.py): a FINI problem is never
+    braked, parked, or stall-replanned (a certified splice must not be
+    overwritten — round-3 root cause of lost near-misses); a HELD
+    problem is excluded from every other phase until its harvest; HELD
+    is only ever entered at seed time.
 
     Parameters
     ----------
@@ -136,8 +170,10 @@ class StallReplanner:
         self.n_brakes = 0
         # per-problem plan store (lazily sized to the batch)
         self.plan_ee: np.ndarray | None = None
-        self.plan_active: np.ndarray | None = None
         self.plan_ptr: np.ndarray | None = None
+        # the per-problem machinery mode (see class docstring); lazily
+        # sized to the batch in _ensure_plan_store
+        self.pmode: np.ndarray | None = None
 
         # IK anchors of the (shared) target, computed once: PAIRWISE
         # -DISTINCT arm branches reaching ee_ref — the deep wedges are
@@ -231,9 +267,25 @@ class StallReplanner:
         # guards the non-deterministic mode. 4 rounds IS reachable
         # within the flagship's 7-hook budget (ADVICE r3 medium: the old
         # value 8 was not).
-        self.hold_for_f64: np.ndarray | None = None
         self.hold_rounds: np.ndarray | None = None
         self.hold_max_rounds = 4
+
+    # ------------------------------------------------------------- modes
+
+    @property
+    def plan_active(self):
+        """Derived view: problems currently tracking an accepted plan."""
+        return self.pmode == PMODE_PLAN
+
+    @property
+    def hold_for_f64(self):
+        """Derived view: problems parked awaiting an f64 job."""
+        return self.pmode == PMODE_HELD
+
+    def _to_track(self, sel):
+        """-> TRACK, except FINI rows (terminal for this machinery)."""
+        m = self.pmode[sel]
+        self.pmode[sel] = np.where(m == PMODE_FINI, m, PMODE_TRACK)
 
     # ------------------------------------------------------------- guesses
 
@@ -362,7 +414,9 @@ class StallReplanner:
             self.n_finishes += int(accepted.sum())
             guide_on = np.asarray(st.ctrl.guide_on).copy()
             guide_on[accepted] = False
-            self.plan_active[accepted] = False
+            # certified splice -> FINI: terminal for brake/park/stall
+            # (round-3 root cause: later machinery overwrote it)
+            self.pmode[accepted] = PMODE_FINI
             # same set_guess bookkeeping as _splice_plans (ADVICE r3):
             # reset the receding counter + fails streak and refresh
             # x_viable for the accepted rows — the old values refer to
@@ -384,14 +438,14 @@ class StallReplanner:
     def _ensure_plan_store(self, B):
         if self.plan_ee is None:
             self.plan_ee = np.zeros((B, self.plan_len, 3))
-            self.plan_active = np.zeros(B, bool)
             self.plan_ptr = np.zeros(B, int)
+        if self.pmode is None:
+            self.pmode = np.full(B, PMODE_TRACK, int)
         if self.finish_tries is None:
             self.finish_tries = np.zeros(B, int)
         if self.stall_rounds is None:
             self.stall_rounds = np.zeros(B, int)
-        if self.hold_for_f64 is None:
-            self.hold_for_f64 = np.zeros(B, bool)
+        if self.hold_rounds is None:
             self.hold_rounds = np.zeros(B, int)
 
     def _update_guidance(self, st: SimState, ee, err):
@@ -417,16 +471,18 @@ class StallReplanner:
             hi = min(T, int(ptr[i]) + 30)
             near = lo + int(np.argmin(d[lo:hi + 1]))
             if d[near] > 0.08:
-                # fell off the plan -> abandon; the stall logic replans
-                self.plan_active[i] = False
+                # fell off the plan -> abandon (PLAN -> TRACK); the
+                # stall logic replans
+                self.pmode[i] = PMODE_TRACK
                 guide_on[i] = False
                 freshly_stalled[i] = True
                 continue
             if err[i] < 0.03 or d[T] < 0.03:
                 # near the target (or the plan's end point reached):
-                # hand over to the true task reference — the greedy
-                # basin converges from here (scripts_dev/diag_fixedpoint)
-                self.plan_active[i] = False
+                # hand over to the true task reference (PLAN -> TRACK)
+                # — the greedy basin converges from here
+                # (scripts_dev/diag_fixedpoint)
+                self.pmode[i] = PMODE_TRACK
                 guide_on[i] = False
             else:
                 ptr[i] = near
@@ -473,11 +529,12 @@ class StallReplanner:
     def _harvest_one_f64(self, st: SimState, err, out,
                          verbose: bool = False):
         sel, x0, xs, us, status, err_T, viol = out
-        # release parked problems (accepted ones get fresh plans below;
-        # the rest resume the normal stall machinery with guidance off)
+        # release parked problems: HELD -> TRACK (accepted ones go
+        # TRACK -> PLAN in the splice below; the rest resume the normal
+        # stall machinery with guidance off)
         held = np.unique(sel)[self.hold_for_f64[np.unique(sel)]]
         if held.size:
-            self.hold_for_f64[held] = False
+            self._to_track(held)
             guide_on = np.asarray(st.ctrl.guide_on).copy()
             guide_on[held] = False
             st = dataclasses.replace(st, ctrl=dataclasses.replace(
@@ -545,7 +602,7 @@ class StallReplanner:
             expired = self.hold_for_f64 \
                 & (self.hold_rounds > self.hold_max_rounds)
             if expired.any():
-                self.hold_for_f64[expired] = False
+                self._to_track(np.flatnonzero(expired))
                 guide_on = np.asarray(st.ctrl.guide_on).copy()
                 guide_on[expired] = False
                 st = dataclasses.replace(st, ctrl=dataclasses.replace(
@@ -587,8 +644,11 @@ class StallReplanner:
             if self.prev_err is not None else np.zeros(len(err), bool)
         if frac_done >= 0.6:
             slow = np.ones(len(err), bool)   # endgame: always attempt
+        # TRACK problems, plus FINI re-certification while unconverged
+        # (bounded by finish_tries); never PLAN or HELD
+        fin_eligible = np.isin(self.pmode, (PMODE_TRACK, PMODE_FINI))
         finish = running0 & (err > model.cfg.tol_conv) \
-            & (err < self.finish_tol) & slow & ~self.plan_active \
+            & (err < self.finish_tol) & slow & fin_eligible \
             & (self.finish_tries < self.finish_max_tries)
         fin_ok = np.zeros(B, bool)
         if finish.any():
@@ -602,8 +662,10 @@ class StallReplanner:
         # the target — wide enough to catch the EE-null-space orbits
         # that park problems at 2-10 mm (flagship round 5 near-miss
         # census), narrow enough not to brake a finishing approacher
+        # TRACK only: FINI keeps its certified splice (invariant), HELD
+        # keeps its park pose, PLAN problems are mid-detour
         coast = running0 & (err < 0.02) & (vmax > 0.05) & no_prog \
-            & ~self.plan_active & ~fin_ok
+            & (self.pmode == PMODE_TRACK) & ~fin_ok
         if coast.any():
             xg_new = np.asarray(st.ctrl.xg).copy()
             ug_new = np.asarray(st.ctrl.ug).copy()
@@ -612,7 +674,6 @@ class StallReplanner:
                 xg_new[i] = np.tile(np.asarray(st.x)[i],
                                     (self.ctrl.N + 1, 1))
                 ug_new[i] = 0.0
-                self.plan_active[i] = False
                 guide_on[i] = False
             self.n_brakes += int(coast.sum())
             st = dataclasses.replace(st, ctrl=dataclasses.replace(
@@ -627,8 +688,8 @@ class StallReplanner:
         # in _update_guidance); unguided ones by progress toward the task
         stalled = running & (err > model.cfg.tol_conv) \
             & (self.prev_err - err < self.progress_tol) \
-            & ~self.plan_active & ~fin_ok & ~self.hold_for_f64
-        stalled |= running & abandoned & ~self.hold_for_f64
+            & (self.pmode == PMODE_TRACK) & ~fin_ok
+        stalled |= running & abandoned & (self.pmode == PMODE_TRACK)
         self.prev_err = err
         idx = np.flatnonzero(stalled)
         if idx.size == 0:
@@ -767,11 +828,12 @@ class StallReplanner:
 
     def _hold(self, st: SimState, sel) -> SimState:
         """Park `sel` at their current pose: static EE guidance + hold
-        guess; their plans (if any) deactivate. Marked hold_for_f64 so
-        the stall/brake/finisher machinery skips them until harvest."""
-        self.hold_for_f64[sel] = True
+        guess; their plans (if any) deactivate. HELD problems are
+        skipped by every other machinery phase until their harvest."""
+        assert not np.any(self.pmode[sel] == PMODE_FINI), \
+            "invariant: a finisher-certified problem is never parked"
+        self.pmode[sel] = PMODE_HELD
         self.hold_rounds[sel] = 0
-        self.plan_active[sel] = False
         ee_now = np.asarray(jax.vmap(self.model.ee_pos)(st.x))[sel]
         N = self.ctrl.N
         xg_new = np.asarray(st.ctrl.xg).copy()
@@ -821,6 +883,9 @@ class StallReplanner:
         N = self.ctrl.N
         B = np.asarray(st.x).shape[0]
         improve = err_T < err_sel - self.accept_margin
+        # invariant: never overwrite a finisher-certified guess (a late
+        # f64 harvest may target a problem that went FINI meanwhile)
+        improve &= self.pmode[sel] != PMODE_FINI
         # tier 1: feasible plan -> guess splice + guidance
         ok_s = feas & improve
         # tier 2: near-feasible plan -> GUIDANCE ONLY (cost shaping;
@@ -858,7 +923,7 @@ class StallReplanner:
             plan_ee = np.concatenate(
                 [plan_ee, np.repeat(plan_ee[:, -1:], pad, axis=1)], axis=1)
         self.plan_ee[any_sel] = plan_ee
-        self.plan_active[any_sel] = True
+        self.pmode[any_sel] = PMODE_PLAN     # (TRACK|HELD) -> PLAN
         self.plan_ptr[any_sel] = 0
         p_guide = np.asarray(st.ctrl.p_guide).copy()
         guide_on = np.asarray(st.ctrl.guide_on).copy()
