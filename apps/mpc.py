@@ -94,7 +94,7 @@ def main(argv=None):
         gpath = guess_path(cfg, cont_name, horizon)
         print(f"loading guess {gpath}")
         xg, ug = load_guess(gpath)
-        test_num = args.get("batch") or min(cfg.test_num, xg.shape[0])
+        test_num = min(args.get("batch") or cfg.test_num, xg.shape[0])
         # cast to the runtime dtype (guess pickles may be f32 from a TPU
         # run while the CPU loop is f64, and vice versa)
         jdt = jnp.float64 if dtype == "float64" else jnp.float32

@@ -149,11 +149,94 @@ def _riccati_last(A, B, c, dx0, Qb, qb, Rb, rb, Sb):
     return dx, dus
 
 
+def _dense_kkt_last(A, B, c, dx0, Qb, qb, Rb, rb, Sb):
+    """Condensed dense KKT solve — the batch-major "many problems per
+    MXU tile" formulation (VERDICT r3 task 7 experiment).
+
+    Eliminates the states through the (shared, LTI) dynamics:
+    ``ddx_t = g_t + sum_{j<t} A^(t-1-j) B ddu_j`` and solves the
+    resulting dense (N*nu x N*nu) system per problem with one batched
+    Cholesky. The Hessian build is a single large contraction with
+    K = (N+1)*nx and the batch riding the GEMM batch dimension — MXU
+    work instead of the Riccati's O(N) sequential scan of 10x10
+    einsums. Same signature/semantics as :func:`_riccati_last`;
+    pinned against it in tests/test_qp_dense.py.
+
+    Trade-off: O(N^2) memory/FLOPs in the horizon vs the Riccati's
+    O(N) — built for short horizons (N<=45) where the scan's
+    sequential latency dominates the extra FLOPs.
+    """
+    N = Rb.shape[0]
+    nx, nu = B.shape
+    NU = N * nu
+    hp = jax.lax.Precision.HIGHEST
+
+    # A^k B blocks: pows[k] = A^k B, k = 0..N-1 (tiny shared scan)
+    def pow_step(Ak_B, _):
+        return A @ Ak_B, Ak_B
+    _, powsB = jax.lax.scan(pow_step, B, None, length=N)   # (N, nx, nu)
+
+    # Su2[t, :, j*nu:(j+1)*nu] = A^(t-1-j) B  for j < t
+    t_idx = jnp.arange(N + 1)[:, None]
+    j_idx = jnp.arange(N)[None, :]
+    k_idx = jnp.clip(t_idx - 1 - j_idx, 0, N - 1)          # (N+1, N)
+    mask = (j_idx < t_idx).astype(B.dtype)                 # (N+1, N)
+    Su2 = powsB[k_idx] * mask[:, :, None, None]            # (N+1,N,nx,nu)
+    Su2 = jnp.transpose(Su2, (0, 2, 1, 3)).reshape(N + 1, nx, NU)
+
+    # free response g_t under the residual dynamics
+    def g_step(gt, ct):
+        gn = A @ gt + ct
+        return gn, gt
+    g_last, gs = jax.lax.scan(g_step, dx0, c)              # c (N,nx,Bt)
+    g = jnp.concatenate([gs, g_last[None]], axis=0)        # (N+1,nx,Bt)
+
+    # H = Su' Qb Su + blockdiag(Rb) + cross(Sb) + sym
+    M1 = jnp.einsum("tijb,tjM->tiMb", Qb, Su2, precision=hp)
+    H = jnp.einsum("tiM,tiLb->MLb", Su2, M1, precision=hp)  # (NU,NU,Bt)
+    CS = jnp.einsum("tiM,tiub->Mtub", Su2[:N], Sb, precision=hp)
+    CS = CS.reshape(NU, NU, -1)
+    H = H + CS + jnp.einsum("MLb->LMb", CS)
+    Bt = H.shape[-1]
+    H5 = H.reshape(N, nu, N, nu, Bt)
+    diag = jnp.arange(N)
+    H5 = H5.at[diag, :, diag, :, :].add(Rb)
+    H = H5.reshape(NU, NU, Bt)
+
+    # gradient
+    gq = jnp.einsum("tijb,tjb->tib", Qb, g, precision=hp) + qb
+    grad = jnp.einsum("tiM,tib->Mb", Su2, gq, precision=hp)
+    grad = grad + rb.reshape(NU, Bt)
+    grad = grad + jnp.einsum("tiub,tib->tub", Sb, g[:N],
+                             precision=hp).reshape(NU, Bt)
+
+    # jitter matching the Riccati's Huu regularization scale
+    eps = 1e-5 if A.dtype == jnp.float32 else 0.0
+    if eps:
+        dmax = jnp.max(H[jnp.arange(NU), jnp.arange(NU)], axis=0)
+        H = H + (eps * dmax)[None, None] \
+            * jnp.eye(NU, dtype=H.dtype)[:, :, None]
+
+    # batched dense Cholesky solve (batch-leading for XLA's kernels)
+    Hb = jnp.moveaxis(H, -1, 0)                             # (Bt,NU,NU)
+    gb = jnp.moveaxis(grad, -1, 0)[:, :, None]              # (Bt,NU,1)
+    L = jnp.linalg.cholesky(Hb)
+    y = jax.scipy.linalg.solve_triangular(L, -gb, lower=True)
+    du_b = jax.scipy.linalg.solve_triangular(
+        L, y, lower=True, trans="T")                        # (Bt,NU,1)
+    du_flat = jnp.moveaxis(du_b[:, :, 0], 0, -1)            # (NU,Bt)
+
+    dx = jnp.einsum("tiM,Mb->tib", Su2, du_flat, precision=hp) + g
+    du = du_flat.reshape(N, nu, Bt)
+    return dx, du
+
+
 def solve_qp_batched(data: QPData, iters: int = 20, mu0: float = 1e2,
                      mu_decay: float = 0.45, mu_min: float = 1e-9,
                      ftb: float = 0.995, hard_tol: float = 1e-6,
                      horizon_parallel: bool = False,
-                     warm: IPWarm | None = None) -> QPSolution:
+                     warm: IPWarm | None = None,
+                     kkt: str = "riccati") -> QPSolution:
     """Batch-major solve of a batched QPData (leading batch axis B on every
     field). Same algorithm and semantics as `solve_qp`; per-problem
     fraction-to-boundary steps and statuses.
@@ -173,7 +256,8 @@ def solve_qp_batched(data: QPData, iters: int = 20, mu0: float = 1e2,
         zl=bl(data.zl), zu=bl(data.zu), Zl=bl(data.Zl), Zu=bl(data.Zu))
     return solve_qp_bl(datab, iters=iters, mu0=mu0, mu_decay=mu_decay,
                        mu_min=mu_min, ftb=ftb, hard_tol=hard_tol,
-                       horizon_parallel=horizon_parallel, warm=warm)
+                       horizon_parallel=horizon_parallel, warm=warm,
+                       kkt=kkt)
 
 
 def solve_qp_bl(data: QPDataBL, iters: int = 20, mu0: float = 1e2,
@@ -181,7 +265,8 @@ def solve_qp_bl(data: QPDataBL, iters: int = 20, mu0: float = 1e2,
                 ftb: float = 0.995, hard_tol: float = 1e-6,
                 horizon_parallel: bool = False,
                 warm: IPWarm | None = None,
-                warm_mu_floor: float = 1e-2) -> QPSolution:
+                warm_mu_floor: float = 1e-2,
+                kkt: str = "riccati") -> QPSolution:
     """Batch-last core of the interior-point solver: consumes a
     :class:`QPDataBL` (lane-minor layout, e.g. from
     ``OcpSpec.transcribe_bl``) with no entry transposes. Returns a
@@ -319,7 +404,12 @@ def solve_qp_bl(data: QPDataBL, iters: int = 20, mu0: float = 1e2,
             + jnp.einsum("ij,kjb->kib", Bm, du) - dx[1:]
         dx0_res = dx0 - dx[0]
 
-        if horizon_parallel:
+        if kkt == "dense":
+            # condensed batch-major KKT: one batched GEMM + Cholesky
+            # instead of the O(N) Riccati scan (_dense_kkt_last docstring)
+            ddx, ddu = _dense_kkt_last(A, Bm, c_res, dx0_res, Qb, qb,
+                                       Rb, rb, Sb)
+        elif horizon_parallel:
             # associative-scan backend works batch-LEADING; round-trip the
             # lane layout (cheap transposes vs O(N) -> O(log N) depth)
             from .riccati_assoc import riccati_assoc
