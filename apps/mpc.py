@@ -60,7 +60,9 @@ def main(argv=None):
     controller = get_controller(cont_name, model, N=horizon,
                                 rti_iters=args.get("rti_iters"), traj=traj,
                                 lm_drop_tol=args.get("lm_drop", 0.0),
-                                zv_near_tol=args.get("zv_near", 0.0))
+                                zv_near_tol=args.get("zv_near", 0.0),
+                                wv_near_tol=args.get("wv_near", 0.0),
+                                wv_weight=args.get("wv", 5.0))
     backup = SafeBackupController(model, N=cfg.back_hor)
 
     if track != "none":

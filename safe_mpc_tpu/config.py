@@ -373,6 +373,17 @@ def parse_args(argv: list[str] | None = None) -> dict[str, Any]:
                              "(0 = off; arrive-and-stop — kills the "
                              "near-target orbit of the EE-only cost, "
                              "round-4 near-miss diagnostic)")
+    parser.add_argument("--wv_near", type=float, default=0.0,
+                        help="EE-error threshold below which a terminal "
+                             "velocity cost wv*||v_N||^2 joins the OCP "
+                             "per problem (0 = off; the smooth "
+                             "arrive-and-stop — the EE-only reach cost "
+                             "leaves null-space velocity free, so the "
+                             "loop can orbit the target just outside "
+                             "tol_conv, round-4 run-1 census)")
+    parser.add_argument("--wv", type=float, default=5.0,
+                        help="terminal velocity weight used when "
+                             "--wv_near triggers")
     parser.add_argument("--segment", type=int, default=100,
                         help="closed-loop scan segment length (smaller = "
                              "more replan/finisher hooks per episode, "

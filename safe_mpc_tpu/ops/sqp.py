@@ -53,7 +53,8 @@ def rti_step_batched(spec: OcpSpec, xgs, ugs, x0s, schedule: NodeSchedule,
                      horizon_parallel: bool = False,
                      warm: IPWarm | None = None,
                      warm_iters: int = WARM_ITERS,
-                     with_warm: bool = False):
+                     with_warm: bool = False,
+                     kkt: str = "riccati"):
     """Whole-batch RTI step, fully batch-last: `transcribe_bl` linearizes
     all B*(N+1) nodes as one lane-packed program and `solve_qp_bl`
     consumes the QPDataBL with no layout changes — the TPU-throughput
@@ -74,10 +75,11 @@ def rti_step_batched(spec: OcpSpec, xgs, ugs, x0s, schedule: NodeSchedule,
     datab = spec.transcribe_bl(xgs, ugs, x0s, schedule)
     if warm is None:
         sol = solve_qp_bl(datab, iters=qp_iters,
-                          horizon_parallel=horizon_parallel)
+                          horizon_parallel=horizon_parallel, kkt=kkt)
     else:
         sol = solve_qp_bl(datab, iters=warm_iters, mu0=WARM_MU0,
-                          horizon_parallel=horizon_parallel, warm=warm)
+                          horizon_parallel=horizon_parallel, warm=warm,
+                          kkt=kkt)
     B = xgs.shape[0]
     res = SolveResult(xs=xgs + sol.dx, us=ugs + sol.du, status=sol.status,
                       qp_viol=sol.hard_violation,

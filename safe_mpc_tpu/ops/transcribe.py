@@ -49,6 +49,17 @@ class NodeSchedule:
     #                         the target so the anchor to the previous
     #                         plan stops fighting the final millimetre
     #                         (flagship near-miss census, round 2).
+    wv_term: jax.Array      # scalar terminal velocity weight (0 = off).
+    #                         The reach cost scores only EE position + u,
+    #                         so joint velocity in the EE null space is
+    #                         COST-FREE: the closed loop can orbit the
+    #                         target at ~0.25 rad/s forever, ending just
+    #                         outside tol_conv (measured, round-4 run 1:
+    #                         21/47 failures touched <1 mm then drifted
+    #                         to 1-4 mm). A terminal wv*||v_N||^2 makes
+    #                         rest-at-target the unique minimum near the
+    #                         goal; the controller gates it on EE error
+    #                         (wv_near_tol) so transit is unaffected.
 
 
 class OcpSpec:
@@ -144,6 +155,7 @@ class OcpSpec:
             safe_zl=jnp.zeros(N1, dtype),
             safe_zu=jnp.zeros(N1, dtype),
             lm_scale=jnp.ones((), dtype),
+            wv_term=jnp.zeros((), dtype),
         )
 
     # ----------------------------------------------------------- node parts
@@ -331,6 +343,11 @@ class OcpSpec:
         Q = Qx + lm * jnp.eye(nx, dtype=dtype)[None]
         R = (Ru + lm * jnp.eye(nu, dtype=dtype)[None])[:N]
         r = ru[:N]
+        # terminal velocity damping (NodeSchedule.wv_term): wv*||v_N||^2
+        nq = self.model.nq
+        wv2 = 2.0 * schedule.wv_term
+        Q = Q.at[N, nq:, nq:].add(wv2 * jnp.eye(nq, dtype=dtype))
+        qx = qx.at[N, nq:].add(wv2 * xg[N, nq:])
 
         # dynamics defect at the guess (zero after guess correction)
         c = jax.vmap(self.model.step)(xg[:N], ug) - xg[1:]
@@ -516,6 +533,13 @@ class OcpSpec:
         q_n = nodes(qx)
         R_n = nodes(Ru + lm_K * jnp.eye(nu, dtype=dtype)[:, :, None])[:N]
         r_n = nodes(ru)[:N]
+        # terminal velocity damping (NodeSchedule.wv_term; scalar or (B,))
+        nq = self.model.nq
+        wv2 = 2.0 * jnp.broadcast_to(jnp.asarray(
+            schedule.wv_term, dtype), (B,))
+        Q_n = Q_n.at[N, nq:, nq:].add(
+            wv2[None, None] * jnp.eye(nq, dtype=dtype)[:, :, None])
+        q_n = q_n.at[N, nq:].add(wv2[None] * xg[:, N, nq:].T)
         Cx_n = nodes(Cx)
         Cu_n = nodes(Cu)[:N]
         h_n = nodes(val)

@@ -90,20 +90,46 @@ def main():
 
     lin = jax.jit(lambda xg, ug, x0: spec.transcribe_bl(xg, ug, x0, sched))
     qp = jax.jit(lambda d: solve_qp_bl(d, iters=QP_ITERS))
+    qp_dense = jax.jit(lambda d: solve_qp_bl(d, iters=QP_ITERS,
+                                             kkt="dense"))
+
+    # realistic linearization points: the committed guess pickle, tiled
+    # to B (raw cold-start samples produce pathological QPs whose f32
+    # solution is meaninglessly sensitive for EVERY backend — measured:
+    # the shipped assoc backend shows the same O(10) u0 spread there)
+    from safe_mpc_tpu.sim.artifacts import load_guess
+    xg0, ug0 = load_guess(os.path.join(
+        os.path.dirname(os.path.abspath(bench.__file__)), "data_noise",
+        "z1_receding_25hor_10sm_use_netTrue__q_collision_margins"
+        "_0.0_0.0_guess.pkl"))
+    xg0 = jnp.asarray(xg0, jnp.float32)
+    ug0 = jnp.asarray(ug0, jnp.float32)
 
     rows = []
     for B in BATCHES:
-        x0s, states = bench._states_for(model, ctrl, B)
+        reps_t = -(-B // xg0.shape[0])
+        xg = jnp.tile(xg0, (reps_t, 1, 1))[:B]
+        ug = jnp.tile(ug0, (reps_t, 1, 1))[:B]
+        x0s = xg[:, 0]
+        import dataclasses as _dc
+        states = _dc.replace(jax.vmap(ctrl.initial_state)(x0s),
+                             xg=xg, ug=ug)
         tick_med, tick_min, tick_max = _med_time(
             lambda s, x: cold(s, x)[1], states, x0s)
         data = lin(states.xg, states.ug, x0s)
         jax.block_until_ready(data)
         lin_med, _, _ = _med_time(lin, states.xg, states.ug, x0s)
         qp_med, _, _ = _med_time(qp, data)
+        qpd_med, _, _ = _med_time(qp_dense, data)
+        # agreement of the dense backend on this real batch
+        sol_r, sol_d = qp(data), qp_dense(data)
+        du_gap = float(jnp.max(jnp.abs(sol_r.du - sol_d.du)))
+        ok_d = float(jnp.mean((sol_d.status == 0).astype(jnp.float32)))
 
         c_tick = _cost(cold, states, x0s)
         c_lin = _cost(lin, states.xg, states.ug, x0s)
         c_qp = _cost(qp, data)
+        c_qpd = _cost(qp_dense, data)
 
         row = {
             "batch": B,
@@ -112,6 +138,10 @@ def main():
                                round(tick_max * 1e3, 3)],
             "lin_ms": round(lin_med * 1e3, 3),
             "qp_ms": round(qp_med * 1e3, 3),
+            "qp_dense_ms": round(qpd_med * 1e3, 3),
+            "qp_dense_gflop": round(c_qpd["flops"] / 1e9, 3),
+            "qp_dense_du_gap": round(du_gap, 6),
+            "qp_dense_ok": ok_d,
             "tick_gflop": round(c_tick["flops"] / 1e9, 3),
             "lin_gflop": round(c_lin["flops"] / 1e9, 3),
             "qp_gflop": round(c_qp["flops"] / 1e9, 3),
