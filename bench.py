@@ -78,12 +78,14 @@ def _build_step(controller: str, N: int, alpha: float, use_net: bool,
     import jax.numpy as jnp
     sched = ctrl.schedule(ctrl.initial_state(jnp.asarray(mid, jnp.float32)))
 
+    kkt = os.environ.get("BENCH_KKT", "riccati")
+
     def step_fn(states, xs, warm=None):
         res = rti_step_batched(ctrl.spec, states.xg, states.ug, xs,
                                sched, qp_iters=qp_iters,
                                horizon_parallel=horizon_parallel,
                                warm=warm, warm_iters=warm_iters,
-                               with_warm=True)
+                               with_warm=True, kkt=kkt)
         res, warm_out = res
         new_states = dataclasses.replace(states, xg=res.xs, ug=res.us)
         return new_states, res.us[:, 0], res.status, warm_out

@@ -108,7 +108,9 @@ class StallReplanner:
     | TRACK | PLAN  | stall replan accepted (splice/guidance), or an     |
     |       |       | f64 harvest splice for a non-held problem          |
     | TRACK | HELD  | seed plan ends in a wedge / no accepted seed →     |
-    |       |       | park + f64 job (seed_plans only)                   |
+    |       |       | park + f64 job (seed_plans), or a stall-path f64   |
+    |       |       | launch (parked so the harvest staleness check      |
+    |       |       | passes — round-4 run-1 fix)                        |
     | TRACK | FINI  | finisher solve certified (< 0.5·tol) and spliced   |
     | PLAN  | TRACK | plan consumed / target near (handover), or the     |
     |       |       | loop fell off the plan (feeds stall detection)     |
@@ -121,8 +123,7 @@ class StallReplanner:
     Invariants (tests/test_replan_modes.py): a FINI problem is never
     braked, parked, or stall-replanned (a certified splice must not be
     overwritten — round-3 root cause of lost near-misses); a HELD
-    problem is excluded from every other phase until its harvest; HELD
-    is only ever entered at seed time.
+    problem is excluded from every other phase until its harvest.
 
     Parameters
     ----------
@@ -240,7 +241,11 @@ class StallReplanner:
         # due hook is killed and harvested as failed (a hung worker must
         # not park its problems for the episode, ADVICE r3 medium).
         self.deterministic = True
-        self.f64_due_rounds = 3
+        # 2 hooks (~200 steps) job latency: run-1 census showed due=3
+        # left mid-episode wedges (entered ~step 400-500) harvesting at
+        # 700 with no runway for the 320-step escape; one 6-problem job
+        # takes ~900 s and a segment runs ~500 s, so 2 hooks suffice
+        self.f64_due_rounds = 2
         self.f64_wait_s = 1800.0
         # several SMALL concurrent jobs beat one big one: an XLA CPU
         # batched SQP runs essentially single-core (the per-step tensors
@@ -705,9 +710,23 @@ class StallReplanner:
         self.stall_rounds[stalled & ~accepted] += 1
         stubborn = stalled & ~accepted & (err > 0.03) \
             & (self.stall_rounds >= self.f64_after)
+        # wedge-band fast path (round-4 run-1 census): a problem sitting
+        # in the KNOWN wedge band with no plan is a confirmed local
+        # minimum — waiting for a second stall confirmation costs a full
+        # hook of the f64 chain's already-tight runway (wedge at step
+        # ~400 -> stall detect 500 -> harvest 700 left 100 steps for a
+        # 320-step escape plan)
+        stubborn |= stalled & ~accepted & (err > 0.03) & (err < 0.15)
         if stubborn.any():
-            self._launch_f64(st, np.flatnonzero(stubborn), verbose,
-                             menu=("all", "far_via"))
+            launched = self._launch_f64(st, np.flatnonzero(stubborn),
+                                        verbose, menu=("all", "far_via"))
+            # park the launched problems (HELD) until their harvest:
+            # un-parked stall-path problems keep moving under the
+            # on-TPU escape attempts, so the harvest's staleness check
+            # (|x_now - x0_job| < 0.05) discarded the plans — run-1
+            # census: late f64 jobs spliced 1-2 of 6 problems each
+            if launched.size:
+                st = self._hold(st, launched)
         return st
 
     def _launch_f64(self, st: SimState, sel, verbose: bool = False,
@@ -730,7 +749,7 @@ class StallReplanner:
                 or self._hooks_left < 2:
             # < 2: no future hook exists to harvest the job (the current
             # hook's harvest already ran) — launching would waste a core
-            return
+            return np.zeros(0, int)
         sel = np.asarray(sel)[:self.f64_chunk]
         n_real = sel.size
         # pad to the chunk size: fixed job shapes let the worker's
@@ -780,6 +799,7 @@ class StallReplanner:
                   f"{sel[:n_real].tolist()} (menu {list(menu)}, "
                   f"N={Nf}, {len(parts)} guesses/problem)",
                   flush=True)
+        return sel[:n_real]
 
     def seed_plans(self, st: SimState, verbose: bool = False) -> SimState:
         """t=0 seeding: solve a long-horizon to-target plan for EVERY
