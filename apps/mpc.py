@@ -62,7 +62,8 @@ def main(argv=None):
                                 lm_drop_tol=args.get("lm_drop", 0.0),
                                 zv_near_tol=args.get("zv_near", 0.0),
                                 wv_near_tol=args.get("wv_near", 0.0),
-                                wv_weight=args.get("wv", 5.0))
+                                wv_weight=args.get("wv", 5.0),
+                                handover_tol=args.get("handover", 0.0))
     backup = SafeBackupController(model, N=cfg.back_hor)
 
     if track != "none":
@@ -181,6 +182,12 @@ def main(argv=None):
         out = _os.path.join(scratch, _os.path.basename(out))
     save_mpc_result(out, res)
     print(f"saved {out}")
+    if replanner is not None and replanner.events:
+        import json as _json
+        ev_path = out.replace(".pkl", "_events.json")
+        with open(ev_path, "w") as f:
+            _json.dump(replanner.events, f)
+        print(f"saved {ev_path}")
     sys.exit(len(res.collisions_idx))
 
 

@@ -384,6 +384,15 @@ def parse_args(argv: list[str] | None = None) -> dict[str, Any]:
     parser.add_argument("--wv", type=float, default=5.0,
                         help="terminal velocity weight used when "
                              "--wv_near triggers")
+    parser.add_argument("--handover", type=float, default=0.0,
+                        help="in-graph guidance handover radius: once "
+                             "the true task EE error is below this, an "
+                             "active guidance plan is ignored tick-by-"
+                             "tick (0 = off; host hooks alone then "
+                             "release guidance — a problem arriving "
+                             "near the target after the LAST hook "
+                             "keeps tracking its plan with the "
+                             "near-target machinery disabled)")
     parser.add_argument("--segment", type=int, default=100,
                         help="closed-loop scan segment length (smaller = "
                              "more replan/finisher hooks per episode, "

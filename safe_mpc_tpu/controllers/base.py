@@ -88,6 +88,7 @@ class MPCController:
                  lm_drop_factor: float = 0.02,
                  zv_near_tol: float = 0.0, zv_vmax: float = 0.5,
                  wv_near_tol: float = 0.0, wv_weight: float = 5.0,
+                 handover_tol: float = 0.0,
                  **spec_kw):
         cfg = model.cfg
         self.model = model
@@ -121,6 +122,12 @@ class MPCController:
         # 0 disables (default — reference cost semantics untouched).
         self.wv_near_tol = float(wv_near_tol)
         self.wv_weight = float(wv_weight)
+        # in-graph guidance handover radius (see schedule()); 0 disables
+        # (default — guidance then releases only at host segment hooks).
+        # 0.025 recommended: inside the measured greedy basin/finisher
+        # reach (2.5 cm) and strictly below the 3 cm wedge-band floor,
+        # so a HELD park in the wedge band can never be unparked by it.
+        self.handover_tol = float(handover_tol)
         # guidance-plan buffer length P: 1 = a single static via point;
         # >1 = a timed EE path tracked node-by-node (sim/replan.py sets
         # P = replan_N + 1 so each MPC node i tracks plan node ptr + i)
@@ -169,6 +176,28 @@ class MPCController:
         tr = jnp.asarray(self.traj, dtype)           # (3, T)
         w = jax.lax.dynamic_slice_in_dim(
             tr, state.current_step, self.N + 1, axis=1)
+        return w.T                                   # (N+1, 3)
+
+    def schedule(self, state: ControllerState) -> NodeSchedule:
+        dtype = state.xg.dtype
+        cfg = self.cfg
+        N = self.N
+        sched = self.spec.default_schedule(dtype)
+        w = self._traj_window(state, dtype)
+        # in-graph guidance HANDOVER: once the true task error is inside
+        # the greedy convergence basin (scripts_dev/diag_fixedpoint), an
+        # active guidance plan is ignored for this tick — the host-side
+        # handover (sim/replan.py::_update_guidance, err < 0.03) only
+        # runs at segment hooks, so a problem arriving near the target
+        # AFTER the last hook kept tracking its plan's clock with the
+        # wv/lm-drop near-target machinery disabled, and orbited off
+        # (round-4 run-3 census: 11 late arrivals ended 1.4-9.7 mm out
+        # with |v| up to 0.9). Measured vs the hook-only handover on the
+        # same episode; host hooks still formalize PLAN -> TRACK.
+        err_task = jnp.linalg.norm(self.model.ee_pos(state.xg[0]) - w[0])
+        guide = state.guide_on
+        if self.handover_tol > 0:
+            guide = jnp.logical_and(guide, err_task >= self.handover_tol)
         # stall-guidance override (sim/replan.py): an accepted long
         # -horizon plan's EE path replaces the task reference until the
         # plan is consumed — node i tracks plan node plan_ptr + i (the
@@ -178,38 +207,29 @@ class MPCController:
         # untouched: the safety machinery is identical under guidance.
         idx = jnp.clip(state.plan_ptr + jnp.arange(self.N + 1),
                        0, self.guide_len - 1)
-        return jnp.where(state.guide_on, state.p_guide[idx],
-                         w.T)                         # (N+1, 3)
-
-    def schedule(self, state: ControllerState) -> NodeSchedule:
-        dtype = state.xg.dtype
-        cfg = self.cfg
-        N = self.N
-        sched = self.spec.default_schedule(dtype)
-        sched = dataclasses.replace(sched, p_ee=self._traj_window(state, dtype),
+        p_ee = jnp.where(guide, state.p_guide[idx], w)
+        sched = dataclasses.replace(sched, p_ee=p_ee,
                                     alpha=jnp.asarray(cfg.alpha, dtype))
+        # near-target gates below use err_task: identical to the old
+        # ||ee - p_ee[0]|| when unguided (p_ee[0] == w[0]), and while
+        # guided the gates are off via ~guide anyway
         if self.lm_drop_tol > 0:
-            err = jnp.linalg.norm(
-                self.model.ee_pos(state.xg[0]) - sched.p_ee[0])
-            near = jnp.logical_and(err < self.lm_drop_tol, ~state.guide_on)
+            near = jnp.logical_and(err_task < self.lm_drop_tol, ~guide)
             sched = dataclasses.replace(
                 sched, lm_scale=jnp.where(
                     near, self.lm_drop_factor, 1.0).astype(dtype))
         if self.wv_near_tol > 0:
-            err = jnp.linalg.norm(
-                self.model.ee_pos(state.xg[0]) - sched.p_ee[0])
-            near = jnp.logical_and(err < self.wv_near_tol, ~state.guide_on)
+            near = jnp.logical_and(err_task < self.wv_near_tol, ~guide)
             sched = dataclasses.replace(
                 sched, wv_term=jnp.where(
                     near, self.wv_weight, 0.0).astype(dtype))
         if self.zv_near_tol > 0:
             nq = self.model.nq
-            err = jnp.linalg.norm(
-                self.model.ee_pos(state.xg[0]) - sched.p_ee[0])
             vmax = jnp.max(jnp.abs(state.xg[0, nq:]))
             stop = jnp.logical_and(
-                jnp.logical_and(err < self.zv_near_tol, vmax < self.zv_vmax),
-                ~state.guide_on)
+                jnp.logical_and(err_task < self.zv_near_tol,
+                                vmax < self.zv_vmax),
+                ~guide)
             sched = dataclasses.replace(
                 sched,
                 lbx=sched.lbx.at[N, nq:].set(

@@ -169,6 +169,11 @@ class StallReplanner:
         self.n_replans = 0
         self.n_accepted = 0
         self.n_brakes = 0
+        # per-problem event journal (diagnosability: which machinery
+        # touched which problem when — round-4 censuses had to be
+        # reverse-engineered from aggregate log lines). apps/mpc.py
+        # dumps it as <artifact>_events.json next to the pickle.
+        self.events: list[dict] = []
         # per-problem plan store (lazily sized to the batch)
         self.plan_ee: np.ndarray | None = None
         self.plan_ptr: np.ndarray | None = None
@@ -292,6 +297,17 @@ class StallReplanner:
         m = self.pmode[sel]
         self.pmode[sel] = np.where(m == PMODE_FINI, m, PMODE_TRACK)
 
+    def _ev(self, kind: str, sel=None, **kw):
+        """Append one journal event (see ``self.events``)."""
+        e = {"round": int(self.round), "kind": kind}
+        if sel is not None:
+            e["problems"] = np.atleast_1d(np.asarray(sel)).astype(int).tolist()
+        for k, v in kw.items():
+            if isinstance(v, np.ndarray):
+                v = np.round(v.astype(float), 4).tolist()
+            e[k] = v
+        self.events.append(e)
+
     # ------------------------------------------------------------- guesses
 
     def _ik_guess(self, x0s, anchor: int | None = None,
@@ -402,6 +418,8 @@ class StallReplanner:
                 *self._hold_guess(x0s, N=N), x0s)
             ok = (np.asarray(status) == 0)[:sel.size] \
                 & (np.asarray(errs) < 0.5 * tol)[:sel.size]
+            self._ev("finish", sel, err_T=np.asarray(errs)[:sel.size],
+                     certified=ok.astype(int).tolist())
             if not ok.any():
                 continue
             if xg_new is None:
@@ -466,6 +484,7 @@ class StallReplanner:
         ptr = np.asarray(st.ctrl.plan_ptr).copy()
         guide_on = np.asarray(st.ctrl.guide_on).copy()
         freshly_stalled = np.zeros(B, bool)
+        handed_over = []
         T = self.plan_len - 1
         for i in np.flatnonzero(self.plan_active):
             d = np.linalg.norm(self.plan_ee[i] - ee[i][None], axis=1)
@@ -489,9 +508,14 @@ class StallReplanner:
                 # (scripts_dev/diag_fixedpoint)
                 self.pmode[i] = PMODE_TRACK
                 guide_on[i] = False
+                handed_over.append(int(i))
             else:
                 ptr[i] = near
                 self.plan_ptr[i] = near
+        if np.any(freshly_stalled):
+            self._ev("abandon", np.flatnonzero(freshly_stalled))
+        if handed_over:
+            self._ev("handover", handed_over)
         ctrl_new = dataclasses.replace(
             st.ctrl, plan_ptr=jnp.asarray(ptr, jnp.int32),
             guide_on=jnp.asarray(guide_on))
@@ -557,6 +581,9 @@ class StallReplanner:
         status, err_T, viol = status[pick], err_T[pick], viol[pick]
         fresh = np.max(np.abs(np.asarray(st.x)[sel] - x0), axis=1) < 0.05
         keep = fresh & np.isfinite(err_T)
+        self._ev("f64_harvest", sel, err_T=np.asarray(err_T),
+                 status=np.asarray(status).astype(int).tolist(),
+                 stale=np.asarray(~fresh).astype(int).tolist())
         if not keep.any():
             return st
         sel, xs, us = sel[keep], xs[keep], us[keep]
@@ -598,6 +625,10 @@ class StallReplanner:
         self.round += 1
         ee = np.asarray(jax.vmap(model.ee_pos)(st.x))
         err = np.linalg.norm(ee - np.asarray(model.ee_ref)[None], axis=1)
+        self._ev("hook", err=err, frac=round(float(frac_done), 3),
+                 hooks_left=int(hooks_left),
+                 pmode=self.pmode.astype(int).tolist()
+                 if self.pmode is not None else None)
         st = self._harvest_f64(st, err, verbose, final=hooks_left <= 1)
         self._hooks_left = int(hooks_left)
         # hold timeout: a parked problem whose job never harvests (worker
@@ -607,6 +638,7 @@ class StallReplanner:
             expired = self.hold_for_f64 \
                 & (self.hold_rounds > self.hold_max_rounds)
             if expired.any():
+                self._ev("hold_timeout", np.flatnonzero(expired))
                 self._to_track(np.flatnonzero(expired))
                 guide_on = np.asarray(st.ctrl.guide_on).copy()
                 guide_on[expired] = False
@@ -681,6 +713,7 @@ class StallReplanner:
                 ug_new[i] = 0.0
                 guide_on[i] = False
             self.n_brakes += int(coast.sum())
+            self._ev("brake", np.flatnonzero(coast))
             st = dataclasses.replace(st, ctrl=dataclasses.replace(
                 st.ctrl, xg=jnp.asarray(xg_new), ug=jnp.asarray(ug_new),
                 x_viable=jnp.asarray(xg_new[:, -1]),
@@ -794,6 +827,8 @@ class StallReplanner:
             N=Nf, sqp_iters=self.f64_sqp_iters,
             due_round=self.round + self.f64_due_rounds))
         self.n_f64 += 1
+        self._ev("f64_launch", sel[:n_real], menu=list(menu),
+                 due_round=int(self.round + self.f64_due_rounds))
         if verbose:
             print(f"  f64 escape launched for {n_real} problems "
                   f"{sel[:n_real].tolist()} (menu {list(menu)}, "
@@ -852,6 +887,7 @@ class StallReplanner:
         skipped by every other machinery phase until their harvest."""
         assert not np.any(self.pmode[sel] == PMODE_FINI), \
             "invariant: a finisher-certified problem is never parked"
+        self._ev("park", sel)
         self.pmode[sel] = PMODE_HELD
         self.hold_rounds[sel] = 0
         ee_now = np.asarray(jax.vmap(self.model.ee_pos)(st.x))[sel]
@@ -919,6 +955,10 @@ class StallReplanner:
         accept_g = np.zeros(B, bool)
         accept_s[sel] = ok_s
         accept_g[sel] = ok_g
+        self._ev("splice:" + tag, sel, err_T=np.asarray(err_T),
+                 feasible=np.asarray(feas).astype(int).tolist(),
+                 spliced=np.asarray(ok_s).astype(int).tolist(),
+                 guide_only=np.asarray(ok_g).astype(int).tolist())
         if not (accept_s.any() or accept_g.any()):
             return st, accept_s
         self.n_accepted += int(accept_s.sum() + accept_g.sum())
