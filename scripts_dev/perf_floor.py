@@ -107,6 +107,7 @@ def main():
 
     rows = []
     for B in BATCHES:
+        print(f"# B={B} building/compiling...", flush=True)
         reps_t = -(-B // xg0.shape[0])
         xg = jnp.tile(xg0, (reps_t, 1, 1))[:B]
         ug = jnp.tile(ug0, (reps_t, 1, 1))[:B]
@@ -154,7 +155,7 @@ def main():
             "hbm_pct": round(c_qp["bytes"] / qp_med / PEAK_BW * 100, 2),
         }
         rows.append(row)
-        print(json.dumps(row))
+        print(json.dumps(row), flush=True)
 
     # latency-floor fit t = t0 + k*B on the tick and the QP
     Bs = np.asarray([r["batch"] for r in rows], float)
