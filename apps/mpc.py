@@ -136,12 +136,37 @@ def main(argv=None):
         replan_ctrl = get_guess_controller(
             cont_name, model, N=int(args["replan_N"]), rti_iters=60,
             lm=1e-3)
-        replanner = StallReplanner(replan_ctrl, controller)
+        # offline plan library (apps/plan_library.py; VERDICT r4 task 1):
+        # seed-time f64 escapes won 24/24 vs 0/8 mid-episode, so the
+        # long-horizon f64 solves are pre-computed at guess time
+        import os as _os
+
+        from safe_mpc_tpu.sim.artifacts import planlib_path
+        lib = None
+        plarg = args.get("planlib", "auto")
+        if plarg == "auto":
+            lp = planlib_path(cfg, cont_name, horizon)
+            lib = lp if _os.path.isfile(lp) else None
+        elif plarg != "off":
+            lib = plarg
+        replanner = StallReplanner(replan_ctrl, controller, library=lib)
         print(f"stall replanner on: N_replan={args['replan_N']}, "
               f"{0 if replanner.q_iks is None else len(replanner.q_iks)} "
-              f"IK anchors")
+              f"IK anchors"
+              + (f", plan library {lib} "
+                 f"({int(replanner.library['good'].sum())}/"
+                 f"{len(replanner.library['good'])} good plans)"
+                 if lib else ", no plan library"))
 
-    sim = ClosedLoopSim(controller, backup=backup)
+    # --warm: the headline-bench configuration (cross-tick IP warm start,
+    # rti_iters=1) as a runnable experiment (VERDICT r4 task 9)
+    warm = bool(args.get("warm"))
+    if warm and controller.rti_iters > 1:
+        raise SystemExit("--warm requires rti_iters <= 1 (the multi-"
+                         "iteration SQP manages its own QP schedule)")
+    sim = ClosedLoopSim(controller, backup=backup, warm_start=warm)
+    if warm:
+        print("cross-tick IP warm start ON (headline configuration)")
     t0 = time.time()
     res = sim.run(x0s, xg=jnp.asarray(xg), ug=jnp.asarray(ug),
                   n_steps=n_steps, plant_params=plant_params, verbose=True,
@@ -186,7 +211,9 @@ def main(argv=None):
         import json as _json
         ev_path = out.replace(".pkl", "_events.json")
         with open(ev_path, "w") as f:
-            _json.dump(replanner.events, f)
+            # the journal sanitizes non-finite floats at the source
+            # (replan.py::_ev); allow_nan=False guards the contract
+            _json.dump(replanner.events, f, allow_nan=False)
         print(f"saved {ev_path}")
     sys.exit(len(res.collisions_idx))
 

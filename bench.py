@@ -136,7 +136,9 @@ def _measure(cold, warm, states, x0s, reps):
 
 def suite_headline(backend):
     N = 25
-    batch = int(os.environ.get("BENCH_BATCH", "512" if backend != "cpu"
+    # 640 = 5 x 128 lanes: measured optimum for the WI=4 warm tick
+    # (10.2k solves/s vs 9.8k at 512 and 10.0k at 768, round 5)
+    batch = int(os.environ.get("BENCH_BATCH", "640" if backend != "cpu"
                                else "128"))
     reps = int(os.environ.get("BENCH_REPS", "20"))
     use_net = os.environ.get("BENCH_NET", "1") == "1"

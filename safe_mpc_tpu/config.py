@@ -401,6 +401,19 @@ def parse_args(argv: list[str] | None = None) -> dict[str, Any]:
                         help="split the last full segment into chunks of "
                              "this length (0 = off) so replanner/finisher "
                              "hooks keep firing near the episode end")
+    parser.add_argument("--warm", action="store_true",
+                        help="cross-tick interior-point warm start in the "
+                             "closed loop (the headline-bench "
+                             "configuration; rti_iters must be 1 — see "
+                             "ClosedLoopSim warm_start)")
+    parser.add_argument("--planlib", type=str, default="auto",
+                        help="offline f64 plan library for the stall "
+                             "replanner (apps/plan_library.py): 'auto' "
+                             "uses {guess prefix}_planlib.npz when "
+                             "present, 'off' disables, else a path")
+    parser.add_argument("--jobs", type=int, default=0,
+                        help="max concurrent f64 worker subprocesses "
+                             "(apps/plan_library.py; 0 = default 4)")
     parser.add_argument("--out_dir", type=str, default=None,
                         help="override the artifact directory (use a "
                              "scratch dir for debug runs so canonical "

@@ -102,12 +102,15 @@ class IPWarm:
 
 
 # warm-schedule defaults. WARM_MU0 caps the adaptive (complementarity
-# -seeded) entering barrier; WARM_ITERS=6 is the measured knee: the Z1
-# closed-loop chain matches the cold 15-iteration schedule with zero
-# status failures (scripts_dev/diag_warmstart.py, floor 1e-2), and the
-# B=512 TPU headline clears 8.5k solves/s at ok_fraction 1.0.
+# -seeded) entering barrier; WARM_ITERS=4 is the measured knee
+# (round 5): the Z1 closed-loop chain matches the cold 15-iteration
+# schedule with zero status failures and final EE errors within ~5e-3
+# at WI∈{4,5,6} (scripts_dev/diag_warmstart.py), while WI=3 shows the
+# first warm status failure (1/480) — so 4 keeps one iteration of
+# margin above the cliff. TPU headline at WI=4: 9.8k solves/s at
+# B=512, 10.2k at B=640, ok_fraction 1.0 (was 8.5k at the old WI=6).
 WARM_MU0 = 0.4
-WARM_ITERS = 6
+WARM_ITERS = 4
 
 
 def shift_warm(warm: IPWarm, axis: int = 0) -> IPWarm:

@@ -690,15 +690,25 @@ class OcpSpec:
             sq = jnp.sum((ee - P) ** 2, axis=0)               # (K,)
             sq_n = nodes(sq)                                  # (N1, B)
             cost = self.Q_w * jnp.sum(scales[:, None] * sq_n, axis=0) + cu
+        # terminal velocity damping (NodeSchedule.wv_term): part of the
+        # QP model (transcribe_bl), so the L1-merit line search must see
+        # it too or the search direction and the merit disagree when a
+        # schedule carries wv_term > 0 (ADVICE r4)
+        wv = jnp.broadcast_to(jnp.asarray(schedule.wv_term, dtype), (B,))
+        cost = cost + wv * jnp.sum(xs[:, -1, nq:] ** 2, axis=-1)
         return cost, hard_l1, soft_pen, dyn
 
     # ------------------------------------------------------------ diagnostics
 
-    def total_cost(self, xs, us, p_ee):
+    def total_cost(self, xs, us, p_ee, wv_term=0.0):
         """Objective in the solver's convention (must match the QP model so
-        the SQP merit line search agrees with the QP descent direction)."""
+        the SQP merit line search agrees with the QP descent direction).
+        `wv_term` is the schedule's terminal-velocity damping weight
+        (0 when the schedule carries none — ADVICE r4)."""
+        wv = jnp.asarray(wv_term, xs.dtype) \
+            * jnp.sum(xs[-1, self.model.nq:] ** 2)
         if self.zero_cost:
-            return jnp.zeros((), xs.dtype)
+            return jnp.zeros((), xs.dtype) + wv
         N = us.shape[-2]
         dt = self.model.dt if self.cost_scaling == "dt" else 1.0
         scales = jnp.concatenate([jnp.full(N, dt, xs.dtype),
@@ -708,10 +718,11 @@ class OcpSpec:
             nq = self.model.nq
             wq = jnp.concatenate([jnp.full(nq, 1e-4, xs.dtype),
                                   jnp.full(nq, self.vel_penalty, xs.dtype)])
-            return jnp.sum(scales * ((xs * xs) @ wq)) + cu
+            return jnp.sum(scales * ((xs * xs) @ wq)) + cu + wv
         ee = jax.vmap(self.model.ee_pos)(xs)
         err = ee - p_ee
-        return self.Q_w * jnp.sum(scales * jnp.sum(err * err, axis=-1)) + cu
+        return self.Q_w * jnp.sum(scales * jnp.sum(err * err, axis=-1)) \
+            + cu + wv
 
     def unscaled_cost(self, xs, us, p_ee):
         """Reference cost convention for metrics (ocp.py:35-46): plain sums

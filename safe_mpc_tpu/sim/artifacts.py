@@ -44,6 +44,16 @@ def mpc_path(cfg: SafeMpcConfig, cont_name: str, horizon: int | None = None) -> 
         f"{cfg.collision_margin}_mpc.pkl")
 
 
+def planlib_path(cfg: SafeMpcConfig, cont_name: str,
+                 horizon: int | None = None) -> str:
+    """Offline f64 plan library (apps/plan_library.py): per problem, the
+    best long-horizon f64 escape plan from the full anchor-guess menu,
+    solved at guess time — the offline analogue of the reference's
+    initializer stage (guess_acados.py:98-165) for the replan machinery."""
+    return guess_path(cfg, cont_name, horizon).replace(
+        "_guess.pkl", "_planlib.npz")
+
+
 def scores_path(cfg: SafeMpcConfig) -> str:
     return os.path.join(cfg.data_dir,
                         f"{cfg.urdf_name}_{int(cfg.alpha)}sm_scores.pkl")

@@ -141,7 +141,8 @@ class StallReplanner:
                  progress_tol: float = 2e-3, chunk: int = 16,
                  ik_starts: int = 32, ik_seeds: int = 4,
                  sqp_iters: int = 150, qp_iters: int = 40,
-                 accept_margin: float = 5e-3):
+                 accept_margin: float = 5e-3,
+                 library: str | dict | None = None):
         self.replan = replan_ctrl
         self.ctrl = target_ctrl
         self.model = replan_ctrl.model
@@ -157,13 +158,29 @@ class StallReplanner:
         # escapes landing 0.14-3.6 mm out, including one (p57, 174 mm)
         # that N=320 solves from a plain hold guess where N=240 failed.
         self.f64_N = 320
+        # OFFLINE PLAN LIBRARY (apps/plan_library.py; VERDICT r4 task 1):
+        # per problem, the best N=320/480 f64 plan from the full anchor
+        # menu, pre-solved at guess time. The round-4 evidence: f64
+        # escapes spliced at t=0 won 24/24, mid-episode launches 0/8 —
+        # the online chain was episode-clock starved. seed_plans splices
+        # library plans first; stalled problems re-attach to the nearest
+        # library plan node; the f64 subprocess machinery stays as a
+        # fallback for states no library plan passes near.
+        self.library: dict | None = None
+        self.lib_attach_tries: np.ndarray | None = None
+        self.lib_attach_max = 2
+        self.lib_attach_tol = 0.05   # = the f64-harvest staleness gate
+        lib_len = 0
+        if library is not None:
+            self.load_library(library)
+            lib_len = int(np.max(self.library["length"]))
         # timed-plan guidance: the controller's guidance buffer holds the
         # FULL plan EE path (padded with its end point for shorter
         # plans); each MPC node tracks its own plan node and the pointer
         # advances one node per tick (controllers/base.py _traj_window /
         # _advance_guide). MUST be set before the sim's initial_state
         # sizes the ControllerState buffers.
-        self.plan_len = max(replan_ctrl.N, self.f64_N) + 1
+        self.plan_len = max(replan_ctrl.N, self.f64_N, lib_len) + 1
         target_ctrl.guide_len = self.plan_len
         self.prev_err: np.ndarray | None = None
         self.n_replans = 0
@@ -298,14 +315,23 @@ class StallReplanner:
         self.pmode[sel] = np.where(m == PMODE_FINI, m, PMODE_TRACK)
 
     def _ev(self, kind: str, sel=None, **kw):
-        """Append one journal event (see ``self.events``)."""
+        """Append one journal event (see ``self.events``). Non-finite
+        floats become None — the journal is dumped as strict JSON and
+        the default NaN/Infinity tokens break standard parsers
+        (ADVICE r4)."""
+        def clean(v):
+            if isinstance(v, list):
+                return [clean(x) for x in v]
+            if isinstance(v, float) and not np.isfinite(v):
+                return None
+            return v
         e = {"round": int(self.round), "kind": kind}
         if sel is not None:
             e["problems"] = np.atleast_1d(np.asarray(sel)).astype(int).tolist()
         for k, v in kw.items():
             if isinstance(v, np.ndarray):
                 v = np.round(v.astype(float), 4).tolist()
-            e[k] = v
+            e[k] = clean(v)
         self.events.append(e)
 
     # ------------------------------------------------------------- guesses
@@ -470,6 +496,8 @@ class StallReplanner:
             self.stall_rounds = np.zeros(B, int)
         if self.hold_rounds is None:
             self.hold_rounds = np.zeros(B, int)
+        if self.lib_attach_tries is None:
+            self.lib_attach_tries = np.zeros(B, int)
 
     def _update_guidance(self, st: SimState, ee, err):
         """Between-segment plan maintenance: re-time each active plan's
@@ -600,6 +628,117 @@ class StallReplanner:
         for job in self._f64_jobs:
             job.cancel()
         self._f64_jobs = []
+
+    # ------------------------------------------------------------ library
+
+    def load_library(self, library: str | dict):
+        """Load an offline plan library (apps/plan_library.py npz: xs,
+        us, length, status, err_T, viol, x0 — tail-padded to a common
+        horizon) and precompute each plan's EE path."""
+        if isinstance(library, (str, bytes)):
+            library = dict(np.load(library, allow_pickle=False))
+        lib = {k: np.array(v) for k, v in library.items()}
+        lib["ee"] = np.asarray(jax.vmap(jax.vmap(self.model.ee_pos))(
+            jnp.asarray(lib["xs"], jnp.float32)))
+        # usable plans: feasible and actually reaching the target — a
+        # library row that missed is worse than the online machinery
+        lib["good"] = (lib["status"] == 0) & (lib["err_T"] < 0.02)
+        self.library = lib
+
+    def _seed_from_library(self, st: SimState, idx, err,
+                           verbose: bool = False):
+        """t=0 library splice: each needy problem takes its OWN library
+        plan (solved from exactly this initial state). Rows whose stored
+        x0 does not match the live state (guess pickle changed since the
+        library was built) or whose plan missed the target fall through
+        to the online seed machinery. Returns (state, accepted mask)."""
+        lib = self.library
+        B = err.shape[0]
+        accepted = np.zeros(B, bool)
+        idx = np.asarray(idx)
+        idx = idx[idx < lib["x0"].shape[0]]
+        if idx.size == 0:
+            return st, accepted
+        fresh = np.max(np.abs(np.asarray(st.x)[idx]
+                              - lib["x0"][idx]), axis=1) < 1e-4
+        usable = fresh & lib["good"][idx]
+        stale = idx[~fresh]
+        if stale.size and verbose:
+            print(f"  library: {stale.size} rows have a stale x0 "
+                  f"(rebuild the planlib for this guess pickle)",
+                  flush=True)
+        sel = idx[usable]
+        if sel.size == 0:
+            return st, accepted
+        dt = np.asarray(st.x).dtype
+        st, acc = self._splice_plans(
+            st, sel, lib["xs"][sel].astype(dt), lib["us"][sel].astype(dt),
+            np.ones(sel.size, bool), lib["err_T"][sel], lib["viol"][sel],
+            err[sel], verbose, tag="lib_seed")
+        return st, acc
+
+    def _library_attach(self, st: SimState, idx, err,
+                        verbose: bool = False):
+        """Stall-path re-seed from the library: find, per stalled
+        problem, the library plan node nearest its CURRENT state (same
+        max-abs metric and 0.05 gate as the f64-harvest staleness
+        check); splice that plan's suffix as a fresh guess + guidance.
+        Zero solves — the library already paid for the route. Bounded
+        per problem by `lib_attach_max` so a problem that keeps falling
+        off library plans escalates to the f64 fallback instead of
+        looping. Returns (state, accepted mask)."""
+        lib = self.library
+        B = err.shape[0]
+        accepted = np.zeros(B, bool)
+        if lib is None:
+            return st, accepted
+        good = np.flatnonzero(lib["good"])
+        if good.size == 0:
+            return st, accepted
+        idx = np.asarray(idx)
+        idx = idx[self.lib_attach_tries[idx] < self.lib_attach_max]
+        if idx.size == 0:
+            return st, accepted
+        N = self.ctrl.N
+        L = lib["xs"].shape[1]          # padded plan nodes
+        # real (un-padded) nodes only, and leave >= N+1 nodes of runway
+        # for the guess splice: node k of plan j is attachable when
+        # k <= length_j - N
+        node_ok = np.arange(L)[None, :] <= (lib["length"][good]
+                                            - N)[:, None]   # (G, L)
+        xs_g = lib["xs"][good]          # (G, L, nx)
+        x_now = np.asarray(st.x)[idx]   # (M, nx)
+        # (M, G, L) max-abs distance; mask padded/late nodes
+        d = np.max(np.abs(x_now[:, None, None, :] - xs_g[None]), axis=3)
+        d = np.where(node_ok[None], d, np.inf)
+        flat = d.reshape(idx.size, -1)
+        best = np.argmin(flat, axis=1)
+        dmin = flat[np.arange(idx.size), best]
+        jj, kk = np.unravel_index(best, (good.size, L))
+        ok = dmin < self.lib_attach_tol
+        self._ev("lib_attach", idx, d=np.asarray(dmin),
+                 plan=good[jj].astype(int).tolist(),
+                 node=kk.astype(int).tolist(),
+                 accepted=ok.astype(int).tolist())
+        self.lib_attach_tries[idx] += 1
+        if not ok.any():
+            return st, accepted
+        sel = idx[ok]
+        dt = np.asarray(st.x).dtype
+        P = self.plan_len
+        xs_sfx = np.empty((sel.size, P, xs_g.shape[2]), dt)
+        us_sfx = np.zeros((sel.size, P - 1, lib["us"].shape[2]), dt)
+        for m, (j, k) in enumerate(zip(jj[ok], kk[ok])):
+            tail = xs_g[j, k:]
+            xs_sfx[m, :tail.shape[0]] = tail
+            xs_sfx[m, tail.shape[0]:] = tail[-1]
+            utail = lib["us"][good[j], k:]
+            us_sfx[m, :utail.shape[0]] = utail
+        st, acc = self._splice_plans(
+            st, sel, xs_sfx, us_sfx, np.ones(sel.size, bool),
+            lib["err_T"][good[jj[ok]]], lib["viol"][good[jj[ok]]],
+            err[sel], verbose, tag="lib_attach")
+        return st, acc
 
     # ------------------------------------------------------------- hook
 
@@ -732,7 +871,19 @@ class StallReplanner:
         idx = np.flatnonzero(stalled)
         if idx.size == 0:
             return st
-        st, accepted = self._replan_and_splice(st, idx, err, verbose)
+        # library re-attach first (zero solves): a stalled problem near
+        # any good library plan's route resumes that plan from the
+        # nearest node; only the residue pays for online replan solves
+        accepted = np.zeros(err.shape[0], bool)
+        if self.library is not None:
+            st, accepted = self._library_attach(st, idx, err, verbose)
+            if verbose and accepted.any():
+                print(f"  library attach: {int(accepted.sum())}/{idx.size}"
+                      f" re-seeded", flush=True)
+            idx = idx[~accepted[idx]]
+        if idx.size:
+            st, acc2 = self._replan_and_splice(st, idx, err, verbose)
+            accepted = accepted | acc2
         # ---- stall-round bookkeeping + f64 escape (deep wedges): after
         # `f64_after` consecutive failed on-device replans on the same
         # problem, launch an asynchronous CPU/x64 subprocess solve with
@@ -852,6 +1003,17 @@ class StallReplanner:
         idx = np.flatnonzero(err > max(0.02, 2 * model.cfg.tol_conv))
         if idx.size == 0:
             return st
+        # library first (zero solves): every problem whose offline plan
+        # reached the target splices it immediately; only the residue
+        # hits the online replanner
+        if self.library is not None:
+            st, lib_acc = self._seed_from_library(st, idx, err, verbose)
+            if verbose and lib_acc.any():
+                print(f"  library seed: {int(lib_acc.sum())}/{idx.size} "
+                      f"spliced", flush=True)
+            idx = idx[~lib_acc[idx]]
+        if idx.size == 0:
+            return st
         st, _ = self._replan_and_splice(st, idx, err, verbose)
         # seed-time f64: a seed plan that itself ends in a wedge (> 2 cm
         # from the target) guides the problem INTO the wedge — the
@@ -869,6 +1031,14 @@ class StallReplanner:
             # progresses — let it transit and chain the next replan
             bad = self.plan_active & (plan_err > 0.02) & (plan_err < 0.15)
             bad[idx] |= ~self.plan_active[idx]
+            # ADVICE r4: never park a problem already inside the
+            # in-graph handover radius — the handover ignores its
+            # static hold guidance every tick, the arm drifts toward
+            # the task, and the f64 harvest's staleness check then
+            # discards the escape plan. Such problems are within
+            # finisher reach (handover_tol <= finish_tol) regardless.
+            if self.ctrl.handover_tol > 0:
+                bad &= err > self.ctrl.handover_tol
             bad_idx = np.flatnonzero(bad)[:self.f64_chunk
                                           * self.f64_max_jobs]
             if bad_idx.size:

@@ -157,23 +157,41 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    # latency-floor fit t = t0 + k*B on the tick and the QP
+    # latency-floor fit t = t0 + k*B on the tick and the QP. Fewer than
+    # 3 batch points cannot support the fit (a 2-point polyfit has
+    # r2 = 0/0 = NaN — ADVICE r4: the committed smoke JSON carried a
+    # bare NaN token that breaks strict JSON parsers), so skip it.
     Bs = np.asarray([r["batch"] for r in rows], float)
     fit = {}
-    for key in ("tick_ms", "qp_ms", "lin_ms"):
-        ts = np.asarray([r[key] for r in rows], float)
-        k, t0 = np.polyfit(Bs, ts, 1)
-        fit[key] = {"t0_ms": round(float(t0), 3),
-                    "k_us_per_problem": round(float(k) * 1e3, 3),
-                    "r2": round(float(1 - np.var(ts - (t0 + k * Bs))
-                                      / np.var(ts)), 4)}
+    if len(rows) >= 3:
+        for key in ("tick_ms", "qp_ms", "lin_ms"):
+            ts = np.asarray([r[key] for r in rows], float)
+            k, t0 = np.polyfit(Bs, ts, 1)
+            var = float(np.var(ts))
+            r2 = 1 - float(np.var(ts - (t0 + k * Bs))) / var if var > 0 \
+                else None
+            fit[key] = {"t0_ms": round(float(t0), 3),
+                        "k_us_per_problem": round(float(k) * 1e3, 3),
+                        "r2": round(r2, 4) if r2 is not None else None}
     out = {"backend": backend, "horizon": N, "qp_iters": QP_ITERS,
            "reps": REPS, "peak_flops": PEAK_FLOPS, "peak_bw": PEAK_BW,
            "rows": rows, "fit": fit}
+
+    def _finite(o):
+        """Strict-JSON hygiene: non-finite floats -> None (ADVICE r4)."""
+        if isinstance(o, dict):
+            return {k: _finite(v) for k, v in o.items()}
+        if isinstance(o, list):
+            return [_finite(v) for v in o]
+        if isinstance(o, float) and not np.isfinite(o):
+            return None
+        return o
+
+    out = _finite(out)
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "perf_floor.json")
     with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(out, f, indent=1, allow_nan=False)
     print("fit:", json.dumps(fit))
     print(f"saved {path}")
 

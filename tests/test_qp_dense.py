@@ -46,6 +46,44 @@ def test_dense_kkt_matches_riccati_single_system():
                                atol=2e-8)
 
 
+def test_dense_backend_f32_matches_riccati_warm_schedule():
+    """f32 pin on a REAL transcribed warm-schedule QP (ADVICE r4): the
+    dense backend's f32 conditioning mitigation (Jacobi equilibration +
+    refinement) must keep it within solver accuracy of the Riccati
+    backend in the TPU dtype. Measured gap 1.3e-5 at |du| ~ 20; pinned
+    at 1e-3."""
+    from safe_mpc_tpu.config import load_config
+    from safe_mpc_tpu.controllers.registry import get_controller
+    from safe_mpc_tpu.models.manipulator import ManipulatorModel
+    from safe_mpc_tpu.models.safeset import create_safe_set
+    from safe_mpc_tpu.ops.qp_batched import solve_qp_bl
+    from safe_mpc_tpu.ops.transcribe import OcpSpec
+    from safe_mpc_tpu.tasks.sampling import sample_initial_states
+
+    N, B = 10, 8
+    cfg = load_config().with_(N=N, use_net=True)
+    model = ManipulatorModel(cfg)
+    spec = OcpSpec(model, safe_set=create_safe_set(model), N=N, fast=True)
+    x0 = sample_initial_states(model, B, margin=0.05)
+    t = jnp.arange(N)[None, :, None]
+    ug = 0.5 * jnp.sin(0.3 * t + jnp.arange(model.nu)[None, None, :]) \
+        * jnp.ones((B, 1, 1))
+    xg = jax.vmap(model.rollout)(x0, ug)
+    ctrl = get_controller("receding", model, N=N)
+    sched = jax.vmap(lambda x: ctrl.schedule(ctrl.initial_state(x)))(x0)
+    data = spec.transcribe_bl(xg, ug, x0, sched)
+    f32 = jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, data)
+    ref = solve_qp_bl(f32, iters=15)
+    out = solve_qp_bl(f32, iters=15, kkt="dense")
+    assert ref.du.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out.du), np.asarray(ref.du),
+                               atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out.status),
+                                  np.asarray(ref.status))
+
+
 def test_dense_backend_full_solve_matches():
     """Full IP solves agree across backends on the synthetic QP batch."""
     datas = [make_data(s, soft_rows=1) for s in range(4)]

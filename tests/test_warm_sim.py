@@ -47,9 +47,13 @@ def test_warm_closed_loop_matches_cold():
     dev = np.nanmax(np.abs(res_w.xs[:, :30] - res_c.xs[:, :30]))
     assert dev < 5e-2, f"warm/cold trajectory deviation {dev}"
     # controls are accelerations with |u| up to ~40 rad/s^2; the warm
-    # schedule's per-solve gap measures ~0.08 absolute here
+    # schedule's early-control gap measures ~0.08 at WARM_ITERS=6 and
+    # ~0.46 at the round-5 knee WARM_ITERS=4 (~1% of the actuation
+    # range; state trajectories stay under the 5e-2 pin above and the
+    # closed-loop chain matches the cold schedule end-to-end,
+    # scripts_dev/diag_warmstart.py)
     dev_u = np.nanmax(np.abs(res_w.us[:, :10] - res_c.us[:, :10]))
-    assert dev_u < 0.3, f"warm/cold early-control deviation {dev_u}"
+    assert dev_u < 0.6, f"warm/cold early-control deviation {dev_u}"
 
 
 def test_warm_disabled_for_multi_iter_sqp():
