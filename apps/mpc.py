@@ -115,11 +115,18 @@ def main(argv=None):
         from safe_mpc_tpu.sim.artifacts import load_noise_params
         npz = os.path.join(cfg.data_dir,
                            f"{cfg.urdf_name}_noise{cfg.noise}_params.npz")
+        n_avail = 0
         if os.path.isfile(npz):
-            print(f"loading noise ensemble {npz}")
             plant_params = load_noise_params(npz)
+            n_avail = int(jax.tree.leaves(plant_params)[0].shape[0])
+        if n_avail >= test_num:
+            print(f"loading noise ensemble {npz}")
             plant_params = jax.tree.map(lambda a: a[:test_num], plant_params)
         else:
+            if n_avail:
+                print(f"WARNING: {npz} holds only {n_avail} < {test_num} "
+                      f"realizations — generating fresh ones (run "
+                      f"apps/generate_noise.py to refresh the ensemble)")
             keys = jax.random.split(jax.random.PRNGKey(1234), test_num)
             plant_params = jax.vmap(
                 lambda k: model.robot.default_params.perturbed(
