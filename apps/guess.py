@@ -49,7 +49,7 @@ def main(argv=None):
     track = args.get("track", "none")
     traj = None
     if track != "none":
-        cfg = cfg.with_(track_traj=True)
+        cfg = cfg.with_(track_traj=True, traj_name=track)
     model = ManipulatorModel(cfg)
     if track != "none":
         from safe_mpc_tpu.tasks.trajectories import get_trajectory

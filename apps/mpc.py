@@ -47,7 +47,7 @@ def main(argv=None):
         from safe_mpc_tpu.tasks.ik import solve_ik_multistart
         from safe_mpc_tpu.tasks.trajectories import get_trajectory
 
-        cfg = cfg.with_(track_traj=True,
+        cfg = cfg.with_(track_traj=True, traj_name=track,
                         n_steps=args.get("n_steps") or min(
                             cfg.n_steps_tracking, 2000))
         model = ManipulatorModel(cfg)

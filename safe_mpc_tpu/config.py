@@ -157,6 +157,8 @@ class SafeMpcConfig:
 
     # tracking tasks (config.yaml:225-238)
     track_traj: bool = False
+    traj_name: str = ""              # which trajectory ("shape8"/"circle");
+    #                                  disambiguates artifact filenames
     dim_shape_8: float = 0.27
     offset_traj: tuple[float, float, float] = (0.65, 0.08, 0.1)
     theta_rot_traj: tuple[float, float, float] = (0.0, 0.0, 1.570)

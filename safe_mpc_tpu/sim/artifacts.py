@@ -22,7 +22,10 @@ from ..config import SafeMpcConfig
 
 
 def _traj_tag(cfg: SafeMpcConfig) -> str:
-    return "traj_track" if cfg.track_traj else ""
+    if not cfg.track_traj:
+        return ""
+    # per-trajectory tag: shape8 and circle artifacts must not collide
+    return f"traj_{cfg.traj_name}" if cfg.traj_name else "traj_track"
 
 
 def guess_path(cfg: SafeMpcConfig, cont_name: str, horizon: int | None = None) -> str:
