@@ -39,12 +39,14 @@ def main(argv):
 
     lines = []
     lines.append("# Far-failure ground truth (offline f64 plan library)\n")
+    n_esc = int((length > 320).sum())
     lines.append(
         f"Generated from `{path}` (apps/plan_library.py): per problem, the\n"
-        "best N=320 f64 plan over the online seed menu (pass 1), escalated\n"
-        "to N=480 with the retreat-via-home / high-retreat menu of\n"
-        "scripts_dev/far_ground_truth.py for problems whose best plan ends\n"
-        "more than 20 mm out (pass 2). Acceptance mirrors the reference's\n"
+        "best N=320 f64 plan over the online seed menu (pass 1); problems\n"
+        "whose best plan ends more than 20 mm out escalate to N=480 with\n"
+        "the retreat-via-home / high-retreat menu of\n"
+        "scripts_dev/far_ground_truth.py (pass 2 — this library needed "
+        f"{n_esc} escalations). Acceptance mirrors the reference's\n"
         "initializer semantics (guess_acados.py:118-131).\n")
     lines.append(f"**{int(feas.sum())}/{B} problems have a feasible plan; "
                  f"{int(good.sum())}/{B} reach within 20 mm of the "
