@@ -638,6 +638,12 @@ class StallReplanner:
         if isinstance(library, (str, bytes)):
             library = dict(np.load(library, allow_pickle=False))
         lib = {k: np.array(v) for k, v in library.items()}
+        # the npz stores plans tail-padded to a fixed N_PAD (480); trim
+        # to the longest REAL plan so the guidance buffers (plan_len =
+        # max real length + 1) and the splice shapes agree
+        L = int(np.max(lib["length"]))
+        lib["xs"] = lib["xs"][:, :L + 1]
+        lib["us"] = lib["us"][:, :L]
         lib["ee"] = np.asarray(jax.vmap(jax.vmap(self.model.ee_pos))(
             jnp.asarray(lib["xs"], jnp.float32)))
         # usable plans: feasible and actually reaching the target — a
@@ -1146,6 +1152,11 @@ class StallReplanner:
         # with their end point — guidance holds the plan's terminal
         # target once consumed
         plan_x = xs[ok_any]
+        if plan_x.shape[1] > self.plan_len:
+            raise ValueError(
+                f"plan length {plan_x.shape[1]} exceeds the guidance "
+                f"buffer ({self.plan_len}); the buffer is sized at "
+                f"construction from max(replan N, f64_N, library length)")
         plan_ee = np.asarray(jax.vmap(jax.vmap(model.ee_pos))(
             jnp.asarray(plan_x)))
         if plan_ee.shape[1] < self.plan_len:

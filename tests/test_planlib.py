@@ -117,3 +117,32 @@ def test_event_journal_is_strict_json():
     back = json.loads(s)
     assert back[-1]["err_T"] == [None, None]
     assert back[-1]["v"] is None
+
+
+def test_padded_library_trims_to_real_length():
+    """Regression: apps/plan_library.py stores plans tail-padded to a
+    fixed N_PAD (480) while the guidance buffers are sized from the max
+    REAL plan length — an un-trimmed load crashed the flagship seed
+    splice with a (B, 481, 3) vs (B, 321, 3) shape mismatch."""
+    real_len = 24
+    rp, sim, st, model = _make(lib_len=real_len)
+    # re-load the same library with 500-node padded storage (longer
+    # than plan_len = max(Nr, f64_N, real) + 1 = 321)
+    pad_to = 500
+    lib = rp.library
+    B, _, nx = lib["xs"].shape
+    nu = lib["us"].shape[2]
+    xs_p = np.concatenate(
+        [lib["xs"], np.repeat(lib["xs"][:, -1:], pad_to - real_len,
+                              axis=1)], axis=1)
+    us_p = np.concatenate(
+        [lib["us"], np.zeros((B, pad_to - real_len, nu))], axis=1)
+    padded = {"xs": xs_p, "us": us_p,
+              "length": np.full(B, real_len), "status": lib["status"],
+              "err_T": lib["err_T"], "viol": lib["viol"],
+              "x0": lib["x0"]}
+    rp.load_library(padded)
+    assert rp.library["xs"].shape[1] == real_len + 1
+    assert rp.library["us"].shape[1] == real_len
+    st2 = rp.seed_plans(st)      # must not raise
+    assert np.all(np.asarray(st2.ctrl.guide_on))
