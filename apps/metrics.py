@@ -140,11 +140,11 @@ def main(argv=None):
         res_out[c] = {"score": perc, "fails": len(failed[c]),
                       "costs": tot_scores[c]}
 
-    with open(scores_path(cfg), "wb") as f:
+    with open(scores_path(cfg, hor), "wb") as f:
         pickle.dump(res_out, f)
     with open(cache_file, "wb") as f:
         pickle.dump(cache, f)
-    print(f"saved {scores_path(cfg)}")
+    print(f"saved {scores_path(cfg, hor)}")
 
 
 if __name__ == "__main__":

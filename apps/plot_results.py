@@ -33,34 +33,60 @@ def main(argv=None):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    def load(alpha):
+    def load(alpha, horizon=None):
+        tag = "" if horizon is None else f"{int(horizon)}hor_"
         path = os.path.join(args.data_dir,
-                            f"{args.system}_{int(alpha)}sm_scores.pkl")
+                            f"{args.system}_{tag}{int(alpha)}sm_scores.pkl")
         if os.path.isfile(path):
             with open(path, "rb") as f:
                 return pickle.load(f)
         return None
 
+    # score/fails vs horizon at each alpha (reference
+    # plot_results.py:84-149), from horizon-tagged scores pickles; the
+    # legacy per-alpha pickle (no horizon tag) feeds the alpha panel
     fig, axes = plt.subplots(1, 2, figsize=(11, 4.5))
     found_any = False
+    seen = set()
     for alpha in args.alphas:
-        scores = load(alpha)
-        if scores is None:
+        per_h = {h: s for h in args.horizons
+                 if (s := load(alpha, h)) is not None}
+        if not per_h:
             continue
         found_any = True
-        names = list(scores)
-        axes[0].plot([alpha] * len(names),
-                     [scores[c]["score"] for c in names], "o")
+        names = sorted({c for s in per_h.values() for c in s})
         for c in names:
             col, mk = CONTROLLER_STYLES.get(c, ("k", "x"))
-            axes[0].scatter([alpha], [scores[c]["score"]], color=col,
-                            marker=mk, label=c if alpha == args.alphas[0] else None)
-            axes[1].scatter([alpha], [scores[c]["fails"]], color=col, marker=mk)
+            hs = [h for h in sorted(per_h) if c in per_h[h]]
+            lbl = c if c not in seen else None
+            seen.add(c)
+            axes[0].plot(hs, [per_h[h][c]["score"] for h in hs],
+                         color=col, marker=mk, label=lbl)
+            axes[1].plot(hs, [per_h[h][c]["fails"] for h in hs],
+                         color=col, marker=mk)
+    if not found_any:
+        # fall back to the legacy alpha-keyed pickles
+        for alpha in args.alphas:
+            scores = load(alpha)
+            if scores is None:
+                continue
+            found_any = True
+            for c in scores:
+                col, mk = CONTROLLER_STYLES.get(c, ("k", "x"))
+                lbl = c if c not in seen else None
+                seen.add(c)
+                axes[0].scatter([alpha], [scores[c]["score"]], color=col,
+                                marker=mk, label=lbl)
+                axes[1].scatter([alpha], [scores[c]["fails"]], color=col,
+                                marker=mk)
+        xlabel = "alpha [%]"
+    else:
+        xlabel = "horizon N"
     if not found_any:
         print("no scores pickles found — run apps/metrics.py first")
         return
-    axes[0].set_xlabel("alpha [%]"), axes[0].set_ylabel("cost surplus [%]")
-    axes[1].set_xlabel("alpha [%]"), axes[1].set_ylabel("failures")
+    axes[0].set_xlabel(xlabel), axes[0].set_ylabel("cost surplus [%]")
+    axes[1].set_xlabel(xlabel), axes[1].set_ylabel("failures")
     axes[0].legend(fontsize=8)
     out = os.path.join(args.data_dir, f"{args.system}_scores.png")
     fig.tight_layout()

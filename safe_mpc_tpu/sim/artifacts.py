@@ -57,9 +57,15 @@ def planlib_path(cfg: SafeMpcConfig, cont_name: str,
         "_guess.pkl", "_planlib.npz")
 
 
-def scores_path(cfg: SafeMpcConfig) -> str:
-    return os.path.join(cfg.data_dir,
-                        f"{cfg.urdf_name}_{int(cfg.alpha)}sm_scores.pkl")
+def scores_path(cfg: SafeMpcConfig, horizon: int | None = None) -> str:
+    """Scores pickle (reference metrics.py:180-182). The reference keys
+    only by alpha and lets horizon sweeps clobber; we tag the horizon so
+    per-horizon cross-controller comparisons coexist (pass horizon=None
+    for the legacy reference-compatible name)."""
+    tag = "" if horizon is None else f"{int(horizon)}hor_"
+    return os.path.join(
+        cfg.data_dir,
+        f"{cfg.urdf_name}_{tag}{int(cfg.alpha)}sm_scores.pkl")
 
 
 def save_guess(path: str, xg, ug) -> None:
