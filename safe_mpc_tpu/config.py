@@ -420,6 +420,10 @@ def parse_args(argv: list[str] | None = None) -> dict[str, Any]:
                         help="override the artifact directory (use a "
                              "scratch dir for debug runs so canonical "
                              "pickles aren't clobbered)")
+    parser.add_argument("--network_path", type=str, default=None,
+                        help="override the safe-set net checkpoint "
+                             "(config network_path; .pt or .npz — for "
+                             "retrain A/B runs)")
     return vars(parser.parse_args(argv))
 
 
@@ -441,4 +445,6 @@ def config_from_args(args: dict[str, Any], rti: bool = True) -> SafeMpcConfig:
     if args.get("out_dir"):
         os.makedirs(args["out_dir"], exist_ok=True)
         cfg = cfg.with_(data_dir=args["out_dir"])
+    if args.get("network_path"):
+        cfg = cfg.with_(network_path=args["network_path"])
     return cfg
