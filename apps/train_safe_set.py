@@ -54,7 +54,7 @@ def main(argv=None):
     qs, dirs, labels = ts.generate_labels(
         model, args.samples, backup_N=args.back_hor,
         bisection_iters=args.bisection, seed=args.seed, chunk=args.chunk,
-        boundary_frac=args.boundary_frac)
+        boundary_frac=args.boundary_frac, verbose=True)
     n_solves = args.samples * (args.bisection + 1)
     dt_label = time.time() - t0
     print(f"labels: {args.samples} samples, s* in "

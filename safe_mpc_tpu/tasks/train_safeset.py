@@ -107,7 +107,7 @@ def generate_labels(model: ManipulatorModel, n_samples: int,
                     backup_N: int | None = None, bisection_iters: int = 7,
                     seed: int = 0, qp_iters: int = 15, sqp_iters: int = 20,
                     v_cap: float | None = None, chunk: int = 256,
-                    boundary_frac: float = 0.0):
+                    boundary_frac: float = 0.0, verbose: bool = False):
     """(states (n, nx_dirs...), labels s* (n,)).
 
     Returns (q (n, nq), v_dir (n, nq), s_star (n,)). Each bisection
@@ -145,17 +145,33 @@ def generate_labels(model: ManipulatorModel, n_samples: int,
         for a in range(0, qs_.shape[0], chunk):
             b = min(a + chunk, qs_.shape[0])
             outs.append(feas_chunk(qs_[a:b], dirs_[a:b], ss_[a:b]))
+            if verbose and a == 0:
+                # force the first chunk through (compile happens here);
+                # a silent multi-minute stall means the backend, not
+                # the math
+                outs[0].block_until_ready()
+                print(f"    first chunk ({b} samples) done", flush=True)
         return jnp.concatenate(outs)
 
     lo = jnp.zeros(n_samples, x0s.dtype)
     hi = cap
     # seed: check feasibility at the cap (if feasible, s* = cap)
+    import time as _time
+    t0 = _time.time()
     ok_hi = feas(qs, dirs, hi)
-    for _ in range(bisection_iters):
+    if verbose:
+        jax.block_until_ready(ok_hi)
+        print(f"  bisection seed pass: {_time.time() - t0:.1f}s",
+              flush=True)
+    for it in range(bisection_iters):
         mid = 0.5 * (lo + hi)
         ok = feas(qs, dirs, mid)
         lo = jnp.where(ok, mid, lo)
         hi = jnp.where(ok, hi, mid)
+        if verbose:
+            jax.block_until_ready(ok)
+            print(f"  bisection pass {it + 1}/{bisection_iters}: "
+                  f"t={_time.time() - t0:.1f}s", flush=True)
     s_star = jnp.where(ok_hi, cap, lo)
     return np.asarray(qs), np.asarray(dirs), np.asarray(s_star)
 
